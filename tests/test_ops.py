@@ -1,0 +1,148 @@
+"""Sessionization, windows, joins, rules — unit tests on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from semstreams_spark.operators.joins import (
+    resolve_aliases,
+    tool_invocation_correlation,
+    turn_with_prior,
+)
+from semstreams_spark.operators.sessions import sessionize
+from semstreams_spark.operators.windows import entity_cooccurrence, node_degree_tumbling
+from semstreams_spark.rules import Condition, Rule, evaluate_rules
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        ("c1", 0, "user", "a", None, T0),
+        ("c1", 1, "assistant", "b", None, T0 + dt.timedelta(minutes=1)),
+        ("c1", 2, "user", "c", None, T0 + dt.timedelta(minutes=90)),  # > 30min gap
+        ("c2", 0, "user", "d", None, T0),
+    ]
+    s = sessionize(_tr(spark, rows), gap_minutes=30).collect()
+    c1 = sorted([r for r in s if r["conv_id"] == "c1"], key=lambda r: r["session_id"])
+    assert len(c1) == 2
+    assert c1[0]["n_turns"] == 2 and c1[1]["n_turns"] == 1
+    assert len([r for r in s if r["conv_id"] == "c2"]) == 1
+
+
+def test_sessionize_out_of_order_input(spark):
+    """Same sessions regardless of file order (stable event-time ordering)."""
+    rows = [
+        ("c1", 2, "user", "c", None, T0 + dt.timedelta(minutes=90)),
+        ("c1", 0, "user", "a", None, T0),
+        ("c1", 1, "assistant", "b", None, T0 + dt.timedelta(minutes=1)),
+    ]
+    s = sessionize(_tr(spark, rows), gap_minutes=30).collect()
+    assert sorted(r["n_turns"] for r in s) == [1, 2]
+
+
+def test_turn_with_prior(spark):
+    rows = [
+        ("c1", 0, "user", "q1", None, T0),
+        ("c1", 1, "assistant", "a1", None, T0 + dt.timedelta(seconds=10)),
+    ]
+    out = {r["turn_idx"]: r for r in turn_with_prior(_tr(spark, rows)).collect()}
+    assert out[0]["prev_text"] is None
+    assert out[1]["prev_text"] == "q1" and out[1]["prev_role"] == "user"
+
+
+def test_tool_correlation_attributes_requesting_turn(spark):
+    rows = [
+        ("c1", 0, "user", "calc this", None, T0),
+        ("c1", 1, "assistant", "calling tool", None, T0 + dt.timedelta(seconds=5)),
+        ("c1", 2, "tool", "result", "calc", T0 + dt.timedelta(seconds=8)),
+        ("c1", 3, "tool", "result2", "search", T0 + dt.timedelta(seconds=9)),
+    ]
+    out = {r["turn_idx"]: r for r in tool_invocation_correlation(_tr(spark, rows)).collect()}
+    assert out[2]["req_turn_idx"] == 1 and out[2]["req_role"] == "assistant"
+    # chained tool turns still attribute to the last non-tool turn
+    assert out[3]["req_turn_idx"] == 1
+
+
+def test_resolve_aliases_passthrough(spark):
+    df = spark.createDataFrame([("x",), ("aka1",)], "entity string")
+    dim = spark.createDataFrame([("aka1", "canonical1")], "alias string, canonical string")
+    out = {r["entity"]: r["entity_resolved"] for r in resolve_aliases(df, dim).collect()}
+    assert out == {"x": "x", "aka1": "canonical1"}
+
+
+def test_degree_tumbling_window_alignment(spark):
+    edges = spark.createDataFrame(
+        [
+            ("e1", "t1", T0 + dt.timedelta(seconds=10)),
+            ("e1", "t2", T0 + dt.timedelta(seconds=290)),
+            ("e1", "t3", T0 + dt.timedelta(seconds=301)),  # next 5-min window
+        ],
+        "src string, dst string, ts timestamp",
+    )
+    out = node_degree_tumbling(edges, "5 minutes").collect()
+    assert sorted(r["out_degree"] for r in out) == [1, 2]
+    assert all(r["window_start"].second == 0 and r["window_start"].minute % 5 == 0 for r in out)
+
+
+def test_cooccurrence_pairs(spark):
+    m = spark.createDataFrame(
+        [
+            ("c1", "a", T0),
+            ("c1", "b", T0 + dt.timedelta(seconds=1)),
+            ("c1", "a", T0 + dt.timedelta(seconds=2)),  # dup mention, same window
+            ("c2", "a", T0),
+        ],
+        "conv_id string, entity string, ts timestamp",
+    )
+    out = entity_cooccurrence(m, "5 minutes").collect()
+    assert len(out) == 1
+    assert out[0]["e1"] == "a" and out[0]["e2"] == "b" and out[0]["cooccur_count"] == 1
+
+
+def _states(spark, rows):
+    return spark.createDataFrame(rows, "subject string, predicate string, object string, ts timestamp")
+
+
+def test_rules_numeric_coercion_and_ops(spark):
+    st = _states(
+        spark,
+        [
+            ("e1", "m.cpu", "95.5", T0),
+            ("e2", "m.cpu", "12", T0),
+            ("e3", "m.name", "alpha-node", T0),
+        ],
+    )
+    rules = [
+        Rule(id="hot", conditions=(Condition("m.cpu", "gt", "90"),)),
+        Rule(id="named", conditions=(Condition("m.name", "starts_with", "alpha"),)),
+    ]
+    out = {(r["rule_id"], r["entity_id"]) for r in evaluate_rules(st, rules).collect()}
+    assert out == {("hot", "e1"), ("named", "e3")}
+
+
+def test_rules_and_or_logic(spark):
+    st = _states(
+        spark,
+        [
+            ("e1", "a", "1", T0),
+            ("e1", "b", "1", T0 + dt.timedelta(seconds=5)),
+            ("e2", "a", "1", T0),
+        ],
+    )
+    both = Rule(id="and_rule", logic="and", conditions=(Condition("a", "eq", "1"), Condition("b", "eq", "1")))
+    either = Rule(id="or_rule", logic="or", conditions=(Condition("a", "eq", "1"), Condition("b", "eq", "1")))
+    out = evaluate_rules(st, [both, either]).collect()
+    and_hits = {r["entity_id"] for r in out if r["rule_id"] == "and_rule"}
+    or_hits = {r["entity_id"] for r in out if r["rule_id"] == "or_rule"}
+    assert and_hits == {"e1"}
+    assert or_hits == {"e1", "e2"}
+    # AND event ts = max over contributing predicates
+    and_ts = [r["ts"] for r in out if r["rule_id"] == "and_rule"][0]
+    assert and_ts == T0 + dt.timedelta(seconds=5)
