@@ -1,0 +1,11 @@
+from .state_merge import conversation_graph_deltas, DELTA_SCHEMA
+from .sink import ExactlyOnceParquetSink
+from .pipeline import build_ingest_stream, read_transcript_stream
+
+__all__ = [
+    "conversation_graph_deltas",
+    "DELTA_SCHEMA",
+    "ExactlyOnceParquetSink",
+    "build_ingest_stream",
+    "read_transcript_stream",
+]

@@ -1,0 +1,104 @@
+"""End-to-end streaming ingest pipeline.
+
+SURVEY §3.1 restated: readStream(transcripts) → watermark → triple
+extraction (Arrow UDF) → per-conversation stateful merge → exactly-once
+sink; windowed aggregates and session windows run as parallel stages off
+the same source.
+
+Local tests drive it with file-source micro-batches
+(``maxFilesPerTrigger``) + ``trigger(availableNow=True)``; on a real
+cluster the same code points at Iceberg/Kafka sources — only
+``read_transcript_stream`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .sink import ExactlyOnceParquetSink
+from .state_merge import conversation_graph_deltas
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based micro-batch source over a directory of parquet files.
+
+    ``maxFilesPerTrigger`` bounds each micro-batch (backpressure, W4 —
+    lossless, unlike the reference's drop-oldest buffers).
+    """
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def build_ingest_stream(
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    fail_at_batch: int | None = None,
+) -> tuple[StreamingQuery, ExactlyOnceParquetSink]:
+    """Wire the full pipeline and start it.
+
+    fail_at_batch: inject a crash AFTER writing batch N's output but
+    BEFORE its ledger commit — the checkpoint-recovery test asserts
+    exactly-once output across the restart.
+    """
+    deltas = conversation_graph_deltas(transcripts, watermark=watermark)
+    sink = ExactlyOnceParquetSink(os.path.join(out_dir, "graph_deltas"))
+
+    if fail_at_batch is not None:
+        inner = sink
+
+        def crashing(batch_df, batch_id):
+            if batch_id == fail_at_batch and not inner.committed(batch_id):
+                # simulate executor/driver failure mid-commit: data written,
+                # ledger not — replay must not double-write
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(inner.table_dir, f"batch={batch_id}")
+                )
+                raise RuntimeError(f"injected failure at batch {batch_id}")
+            inner(batch_df, batch_id)
+
+        fn = crashing
+    else:
+        fn = sink
+
+    writer = deltas.writeStream.foreachBatch(fn).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def windowed_degree_stream(
+    transcripts: DataFrame, watermark: str = "10 minutes", width: str = "5 minutes"
+) -> DataFrame:
+    """Streaming tumbling-window mention in-degree (A6) off the raw stream —
+    pure built-ins end-to-end (no Python in this branch)."""
+    from ..extract.triples import MENTION_RE
+
+    mentions = transcripts.select(
+        "conv_id",
+        "ts",
+        F.explode(F.regexp_extract_all("text", F.lit(MENTION_RE), F.lit(1))).alias("entity"),
+    )
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "entity")
+        .agg(F.count(F.lit(1)).alias("in_degree"), F.approx_count_distinct("conv_id").alias("approx_convs"))
+        .select(F.col("w.start").alias("window_start"), "entity", "in_degree", "approx_convs")
+    )

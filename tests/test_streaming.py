@@ -1,0 +1,136 @@
+"""Streaming core: stateful merge parity vs batch, exactly-once resume
+after injected failure, re-delivery dedup, watermark session timeout."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from semstreams_spark.extract import extract_triples
+from semstreams_spark.streaming import build_ingest_stream, read_transcript_stream
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+def _write_file(dirpath: str, name: str, rows: list[tuple]):
+    """rows: (conv_id, turn_idx, role, text, tool, ts)"""
+    os.makedirs(dirpath, exist_ok=True)
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(cols[0]),
+            "turn_idx": pa.array(cols[1], type=pa.int32()),
+            "role": pa.array(cols[2]),
+            "text": pa.array(cols[3]),
+            "tool": pa.array(cols[4], type=pa.string()),
+            "ts": pa.array([pd.Timestamp(t) for t in cols[5]], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(dirpath, name))
+
+
+def _mk_rows(conv, n, start, mention="ent_a"):
+    return [
+        (conv, i, "user" if i % 2 == 0 else "assistant", f"msg {i} @entity:{mention}", None, start + dt.timedelta(seconds=20 * i))
+        for i in range(n)
+    ]
+
+
+def _run(spark, indir, outdir, ckpt, **kw):
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=kw.pop("mfpt", 1))
+    q, sink = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt, **kw)
+    q.awaitTermination()
+    return sink
+
+
+def test_stream_matches_batch_extraction(spark, tmp_path):
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_file(indir, "f1.parquet", _mk_rows("c1", 6, T0) + _mk_rows("c2", 4, T0, "ent_b"))
+    _write_file(indir, "f2.parquet", _mk_rows("c3", 5, T0 + dt.timedelta(minutes=5)))
+
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=1)
+    out = sink.read(spark).filter(F.col("kind") == "triple")
+
+    batch = extract_triples(spark.read.parquet(indir))
+    key = ["subject", "predicate", "object", "object_type", "ts"]
+    got = sorted(map(tuple, out.select(*key).collect()))
+    want = sorted(map(tuple, batch.select(*key).collect()))
+    assert got == want
+
+
+def test_prior_turn_linkage(spark, tmp_path):
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_file(indir, "f1.parquet", _mk_rows("c1", 4, T0))
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days")
+    out = (
+        sink.read(spark)
+        .filter((F.col("kind") == "triple") & (F.col("predicate") == "rdf:type"))
+        .select("turn_idx", "prev_turn_idx", "version")
+        .collect()
+    )
+    by_turn = {r["turn_idx"]: r for r in out}
+    assert by_turn[0]["prev_turn_idx"] is None
+    for i in (1, 2, 3):
+        assert by_turn[i]["prev_turn_idx"] == i - 1
+    assert [by_turn[i]["version"] for i in range(4)] == [1, 2, 3, 4]
+
+
+def test_redelivery_dedup(spark, tmp_path):
+    """The same turn delivered in two micro-batches is accepted once."""
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows = _mk_rows("c1", 3, T0)
+    _write_file(indir, "f1.parquet", rows)
+    _write_file(indir, "f2.parquet", rows[:2])  # re-delivery of turns 0,1
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=1)
+    out = sink.read(spark).filter(F.col("kind") == "triple")
+    n_type_triples = out.filter(F.col("predicate") == "rdf:type").count()
+    assert n_type_triples == 3  # not 5
+
+
+def test_exactly_once_resume_after_injected_failure(spark, tmp_path):
+    """Crash after data write but before ledger commit at batch 2; restart
+    must neither lose nor duplicate rows (north-rule W5/W7)."""
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i in range(4):
+        _write_file(indir, f"f{i}.parquet", _mk_rows(f"c{i}", 3, T0 + dt.timedelta(minutes=i)))
+
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    q, sink = build_ingest_stream(
+        stream, outdir, checkpoint_dir=ckpt, watermark="2 days", fail_at_batch=2
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # restart from checkpoint, no injected failure
+    stream2 = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    q2, sink2 = build_ingest_stream(stream2, outdir, checkpoint_dir=ckpt, watermark="2 days")
+    q2.awaitTermination()
+
+    out = sink2.read(spark).filter(F.col("kind") == "triple")
+    batch = extract_triples(spark.read.parquet(indir))
+    assert out.count() == batch.count()
+    key = ["subject", "predicate", "object"]
+    assert out.select(*key).distinct().count() == out.count() == batch.select(*key).distinct().count()
+    # ledger has per-partition lineage for every committed batch
+    for entry in sink2.ledger():
+        assert "partitions" in entry and entry["rows"] == sum(p["rows"] for p in entry["partitions"])
+
+
+def test_session_end_on_watermark_timeout(spark, tmp_path):
+    """Idle conversation: state evicted 1h past watermark, session_end emitted."""
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_file(indir, "f1.parquet", _mk_rows("early", 3, T0))
+    # second file 6h later pushes the watermark far past early+1h
+    _write_file(indir, "f2.parquet", _mk_rows("late", 2, T0 + dt.timedelta(hours=6)))
+    # third batch gives the timer a chance to fire
+    _write_file(indir, "f3.parquet", _mk_rows("late2", 2, T0 + dt.timedelta(hours=7)))
+
+    sink = _run(spark, indir, outdir, ckpt, watermark="1 minute", mfpt=1)
+    ends = sink.read(spark).filter(F.col("kind") == "session_end").collect()
+    assert any(r["conv_id"] == "early" and r["object"] == "3" for r in ends)
