@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+  {"metric": "headline_suite_wall", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "turns_per_sec": ..., "batch_p95_ms": ..., "cores": N}
+
+The e2e streaming ingest (read → extract → stateful merge → exactly-once
+sink) is measured twice: one-big-batch for throughput (turns/sec) and
+20-file micro-batches for per-batch latency (p95 triggerExecution).
+
+Scaling evidence (north_rule): tools/scaling_bench.py runs this file at
+two parallelism levels in fresh JVMs and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def batch_queries(spark, sf_dir):
+    """Headline batch queries (subset of __spark_entry__ queries that
+    dominate the pipeline)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "triples_extract",
+        "entity_states",
+        "graph_edges",
+        "cooccur_5min",
+        "sessions",
+        "degree_tumbling",
+        "rule_events",
+        "q1_pricing",
+    ]
+    out = {}
+    for n in names:
+        t0 = time.monotonic()
+        _noop_write(qs[n](spark, sf_dir))
+        out[n] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90 days"):
+    """Run the e2e ingest over the transcript table split into n_files;
+    returns (wall_sec, n_turns, per_batch_ms)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from semstreams_spark.streaming import build_ingest_stream, read_transcript_stream
+
+    indir = os.path.join(workdir, f"in_{n_files}")
+    if not os.path.exists(indir):
+        src = spark.read.parquet(transcripts_file)
+        src.repartition(n_files).write.mode("overwrite").parquet(indir)
+    n_turns = spark.read.parquet(indir).count()
+
+    outdir = os.path.join(workdir, f"out_{n_files}_{mfpt}")
+    ckpt = os.path.join(workdir, f"ckpt_{n_files}_{mfpt}")
+    for d in (outdir, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=mfpt)
+    t0 = time.monotonic()
+    q, sink = build_ingest_stream(
+        stream, outdir, checkpoint_dir=ckpt, watermark=watermark, once=(mfpt >= n_files)
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    per_batch_ms = [
+        p["durationMs"].get("triggerExecution", 0)
+        for p in (json.loads(j.json) for j in q.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+    return wall, n_turns, per_batch_ms
+
+
+def p95(xs):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(0.95 * (len(xs) - 1))))]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--stream-only", action="store_true")
+    ap.add_argument("--runs", type=int, default=3, help="timed ingest runs (after 1 discarded warmup)")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    from semstreams_spark.datagen import ensure_transcripts, sf_from_dir, transcripts_path
+    from semstreams_spark.session import get_spark
+
+    sf = sf_from_dir(args.sf_dir)
+    ensure_transcripts(sf)
+    spark = get_spark("bench", cores=args.cores, shuffle_partitions=args.cores)
+    workdir = args.workdir or tempfile.mkdtemp(prefix="semspark_bench_")
+
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    # e2e throughput: one big batch over cores*2 files; warmup discarded
+    # (JIT), median of --runs (BASELINE.md protocol)
+    import statistics
+
+    walls = []
+    n_turns = 0
+    for i in range(args.runs + 1):
+        wall, n_turns, _ = stream_ingest(
+            spark, transcripts_path(sf), workdir, n_files=args.cores * 2, mfpt=args.cores * 2
+        )
+        if i > 0:
+            walls.append(wall)
+    wall = statistics.median(walls)
+    queries["ingest_e2e"] = round(wall, 3)
+    total += wall
+    turns_per_sec = round(n_turns / wall, 1)
+    ingest_walls = [round(w, 3) for w in walls]
+
+    batch_p95_ms = None
+    if not args.stream_only:
+        # per-batch latency: 20 micro-batches
+        _, _, per_batch = stream_ingest(
+            spark, transcripts_path(sf), workdir, n_files=20, mfpt=1
+        )
+        batch_p95_ms = p95(per_batch)
+
+        bq = batch_queries(spark, args.sf_dir)
+        queries.update(bq)
+        total += sum(bq.values())
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "turns_per_sec": turns_per_sec,
+                "n_turns": n_turns,
+                "ingest_walls": ingest_walls,
+                "batch_p95_ms": batch_p95_ms,
+                "cores": args.cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, from exact to fuzzy, each expressed as DataFrame
+compositions (no Python in the hot path):
+
+- exact: content-hash groupBy (reference content hash,
+  ``message/base_message.go:151-171``)
+- n-gram Jaccard: shingle explode → self-join on shingle → |A∩B| /
+  (|A|+|B|-|A∩B|) — exact, quadratic in near-dup clusters only
+- MinHash + LSH: k permutation-style hashes over shingles, banded into
+  b bands; candidate pairs share a band signature (bucket join, never
+  all-pairs) → verified with exact Jaccard. THE scale path for 100 TB:
+  shuffle is (doc → k minhashes → b band rows), join fan-out bounded by
+  bucket sizes.
+- SimHash: 64-bit sign-aggregated term hash; near-dups = fingerprints
+  equal in ≥3 of 4 16-bit chunks (Hamming ≤ small) via chunk bucket join.
+
+All hashes are the engine-portable md5-based hash where an oracle is
+wanted; xxhash64 variants are noted for production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import portable_hash, tokens, word_ngrams
+
+# Mersenne prime modulus for the permutation family: 2^31-1 keeps
+# a*h+b < 2^62 (no int64 overflow under ANSI mode)
+_P = 2147483647
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, keeper, n_copies)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold (a < b).
+
+    Self-join on shingle: cost ∝ Σ df(shingle)^2 — fine when shingles are
+    discriminative; the MinHash path below is the guard for hot shingles.
+    """
+    s = shingle_sets(docs, id_col, text_col, n)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = s.alias("a"), s.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>[k]) MinHash signatures.
+
+    h_i(x) = (a_i * H(x) + b_i) mod p with fixed odd a_i, b_i — one base
+    hash per shingle, k affine transforms folded in a single aggregate
+    (no k-fold explode)."""
+    s = shingle_sets(docs, id_col, text_col, n).withColumn(
+        "h", portable_hash(F.col("shingle")) % F.lit(_P)
+    )
+    aggs = [
+        F.min(
+            (F.lit((2 * i + 1) % _P) * F.col("h") + F.lit((i * 0x9E3779B9) % _P)) % F.lit(_P)
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sig = s.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs.
+
+    Shuffle key = (band_idx, band_hash): bounded fan-out, no all-pairs.
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
+    cand = minhash_lsh_candidates(minhash_signatures(docs, k=k, n=n), bands, k // bands)
+    s = shingle_sets(docs, n=n)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, via 64 sign-sum bits over token hashes.
+
+    Implemented as: token → portable hash → per-bit +1/-1 votes → sign.
+    The bit loop is an unrolled sum over F.when columns (pure codegen).
+    """
+    t = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    t = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w")).withColumn("h", portable_hash(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"b{i}")
+        for i in range(60)  # portable hash is 60 bits
+    ]
+    sums = t.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole recall guarantee: the 60-bit fingerprint splits into
+    (max_hamming+1) chunks, so any pair within the Hamming budget shares
+    at least one untouched chunk — candidates = pairs sharing ANY chunk
+    value (bucket join, never all-pairs), then exact popcount verify via
+    bit_count ≤ max_hamming. Default 3 is the classic web-dedup setting;
+    raise it for short/noisy docs (chunks shrink accordingly)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 20:
+        raise ValueError("max_hamming too large for 60-bit fingerprints (max 19)")
+    chunk_bits = 60 // n_chunks
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    exact cosine verify. Hyperplanes are deterministic (hash-derived), so
+    results are reproducible without a stored model."""
+    from .similarity import cosine_sim_expr, hyperplane_signature
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    sig = e.withColumn("bucket", hyperplane_signature(F.col("v"), n_planes))
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            cosine_sim_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, codegen). The term hash is
+engine-portable (md5-hex-prefix → bigint) so every operator here has an
+exact DuckDB oracle — unlike xxhash64/murmur3 which differ per engine.
+
+Reference parallels: TF term ranking ``pkg/graphclustering/summarizer.go
+:86-157``; hashed term→dim ``pkg/embedding/bm25_embedder.go:285-291``;
+content hash ``message/base_message.go:151-171``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9_]+"
+
+# tiny per-language stopword sets for the n-gram/stopword lang-id heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def portable_hash(col: Column, buckets: int | None = None) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    conv(substr(md5(x),1,15),16,10). Slower than xxhash64 — use xxhash64
+    in scale paths that don't need a cross-engine oracle."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h % buckets if buckets else h
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (array<string>)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9_]+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (array<string>)."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (content-addressed identity; reference SHA-256 content hash)."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-voting language ID: the language whose stopwords appear
+    most (≥2 hits required), else 'und'. Deterministic tie-break by
+    language code order."""
+    toks = tokens(col)
+    # occurrence count per language. Notes: the HOF lambda must be
+    # single-parameter (PySpark infers lambda arity from the signature, so
+    # default-arg closures break); Column.isin can't take a lambda var;
+    # array_except would dedup. filter + array_contains is the shape that
+    # stays entirely in codegen.
+    def _count_hits(words: list[str]):
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scores = [(lang, _count_hits(words)) for lang, words in sorted(LANG_STOPWORDS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = None
+    for lang, s in reversed(scores):
+        cond = s == best_score
+        pick = F.when(cond, F.lit(lang)) if pick is None else F.when(cond, F.lit(lang)).otherwise(pick)
+    return F.when(best_score >= 2, pick).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, char count, mean token
+    length, punctuation ratio, stopword ratio, uniq-token ratio."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    return docs.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        (n_chars.cast("double") / n_tok).alias("avg_token_len"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", "")).cast("double")
+            / n_chars
+        ).alias("punct_ratio"),
+        (F.size(F.array_intersect(t, en_stop)).cast("double") / n_tok).alias("stopword_hit_ratio"),
+        (F.size(F.array_distinct(t)).cast("double") / n_tok).alias("uniq_token_ratio"),
+    )

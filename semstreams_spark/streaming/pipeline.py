@@ -48,6 +48,7 @@ def build_ingest_stream(
     checkpoint_dir: str | None = None,
     watermark: str = "10 minutes",
     available_now: bool = True,
+    once: bool = False,
     fail_at_batch: int | None = None,
 ) -> tuple[StreamingQuery, ExactlyOnceParquetSink]:
     """Wire the full pipeline and start it.
@@ -79,7 +80,12 @@ def build_ingest_stream(
     writer = deltas.writeStream.foreachBatch(fn).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
+    if once:
+        # single batch, no trailing empty batch — used by the throughput
+        # bench where the fixed cost of the final no-data batch would
+        # pollute the measurement
+        writer = writer.trigger(once=True)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
 

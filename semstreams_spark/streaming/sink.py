@@ -30,7 +30,6 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
@@ -69,43 +68,59 @@ class ExactlyOnceParquetSink:
         if os.path.exists(final):
             shutil.rmtree(final)  # crashed between rename and ledger write
 
-        # one pass: cache, lineage per input partition, stats, write
-        batch_df = batch_df.cache()
-        try:
-            lineage_rows = (
-                batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.min("ts").alias("min_ts"),
-                    F.max("ts").alias("max_ts"),
-                )
-                .collect()
-            )
-            n_rows = sum(r["rows"] for r in lineage_rows)
-            if n_rows > 0:
-                batch_df.write.mode("overwrite").parquet(staged)
-                os.replace(staged, final)
+        # single pass: write staged parquet, then derive per-partition
+        # lineage from the parquet footers (one output file per task
+        # partition; footer stats give rows + min/max ts with no second
+        # Spark job over the data)
+        batch_df.write.mode("overwrite").parquet(staged)
+        partitions = self._footer_lineage(staged)
+        n_rows = sum(p["rows"] for p in partitions)
+        if n_rows > 0:
+            os.replace(staged, final)
+        else:
+            shutil.rmtree(staged, ignore_errors=True)
 
-            entry = {
-                "batch_id": batch_id,
-                "rows": n_rows,
-                "partitions": [
-                    {
-                        "partition_id": r["partition_id"],
-                        "rows": r["rows"],
-                        "min_ts": str(r["min_ts"]),
-                        "max_ts": str(r["max_ts"]),
-                    }
-                    for r in sorted(lineage_rows, key=lambda r: r["partition_id"])
-                ],
-                "wall_seconds": round(time.monotonic() - t0, 3),
-            }
-            tmp = self._ledger_path(batch_id) + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(entry, fh)
-            os.replace(tmp, self._ledger_path(batch_id))
-        finally:
-            batch_df.unpersist()
+        entry = {
+            "batch_id": batch_id,
+            "rows": n_rows,
+            "partitions": partitions,
+            "wall_seconds": round(time.monotonic() - t0, 3),
+        }
+        tmp = self._ledger_path(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, self._ledger_path(batch_id))
+
+    @staticmethod
+    def _footer_lineage(directory: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for name in sorted(os.listdir(directory)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(directory, name)).metadata
+            ts_min = ts_max = None
+            try:
+                ts_idx = md.schema.names.index("ts")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if st is not None and st.has_min_max:
+                        ts_min = st.min if ts_min is None else min(ts_min, st.min)
+                        ts_max = st.max if ts_max is None else max(ts_max, st.max)
+            except ValueError:
+                pass
+            # task partition id is embedded in the part file name
+            out.append(
+                {
+                    "file": name,
+                    "partition_id": int(name.split("-")[1]) if "-" in name else -1,
+                    "rows": md.num_rows,
+                    "min_ts": str(ts_min),
+                    "max_ts": str(ts_max),
+                }
+            )
+        return out
 
     # -- reader -------------------------------------------------------------
     def read(self, spark) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Dedup / similarity / text / search operators on small controlled data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from semstreams_spark.graph import bounded_traversal, degree_centrality, lpa_communities, pagerank
+from semstreams_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    simhash_near_dups,
+)
+from semstreams_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from semstreams_spark.operators.textops import fingerprint, lang_id, token_count
+from semstreams_spark.search import bm25_search, hybrid_search
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines and pipelines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "spark engines process streaming data in micro batches"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["content_hash"]: r for r in exact_dedup(docs).collect()}
+    groups = [r for r in out.values() if r["n_copies"] > 1]
+    assert len(groups) == 1 and groups[0]["keeper"] == 0 and groups[0]["n_copies"] == 2
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    mh = {(r["doc_a"], r["doc_b"]) for r in minhash_dedup(docs, threshold=0.5).collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    # LSH candidates are a superset-filter then exact-verified: equal sets
+    assert mh == exact
+
+
+def test_simhash_near_dups(docs):
+    # short docs: one-token diff costs ~11 of 60 bits, so widen the budget
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=14).collect()}
+    assert out[(0, 3)] == 0  # identical text -> identical simhash
+    assert (0, 1) in out and out[(0, 1)] <= 14  # near-dup within budget
+    assert (0, 2) not in out and (0, 4) not in out
+
+
+def test_cosine_topk_exact_and_ann(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(50):
+        v = rng.normal(size=64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # vec 99 = near-copy of query
+    q = (base / np.linalg.norm(base)).tolist()
+    near = base + rng.normal(size=64) * 0.01
+    rows.append((99, (near / np.linalg.norm(near)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 99 and top[0]["cosine"] > 0.99
+
+    ann = ann_topk_lsh(emb, q, k=3, n_planes=8).collect()
+    assert ann[0]["vec_id"] == 99  # the near-copy shares the query bucket
+
+
+def test_text_ops(docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        fingerprint(F.col("text")).alias("fp"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 9
+    assert by_id[0]["fp"] == by_id[3]["fp"]
+    assert by_id[0]["lang"] == "en"
+
+
+def test_bm25_ranks_matching_doc_first(docs):
+    top = bm25_search(docs, "spark streaming engines", k=3).collect()
+    assert top[0]["doc_id"] in (2, 4)
+    assert top[0]["score"] > 0
+    hybrid = hybrid_search(docs, "spark engines", k=3)
+    assert hybrid.count() >= 1
+
+
+EDGES = [
+    ("a", "b", "t"), ("b", "c", "t"), ("c", "a", "t"),  # triangle
+    ("d", "e", "t"), ("e", "f", "t"),                    # chain
+    ("a", "d", "weak"),                                   # bridge
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, edge_type string")
+
+
+def test_bounded_traversal_depth_and_decay(edges):
+    out = {r["entity"]: r for r in bounded_traversal(edges, "a", max_depth=2, decay=0.5).collect()}
+    assert out["a"]["depth"] == 0 and out["a"]["score"] == 1.0
+    assert out["b"]["depth"] == 1 and out["b"]["score"] == 0.5
+    assert out["e"]["depth"] == 2 and out["e"]["score"] == 0.25
+    assert "f" not in out  # depth 3
+
+
+def test_traversal_edge_filter(edges):
+    out = {r["entity"] for r in bounded_traversal(edges, "a", max_depth=3, edge_filter=["t"]).collect()}
+    assert "d" not in out  # bridge edge filtered
+
+
+def test_degree_and_pagerank(edges):
+    deg = {r["entity"]: r["degree"] for r in degree_centrality(edges).collect()}
+    assert deg["a"] == 3
+    pr = pagerank(edges.select("src", "dst"), max_iter=30)
+    rows = pr.collect()
+    total = sum(r["rank"] for r in rows)
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+    ranks = {r["entity"]: r["rank"] for r in rows}
+    assert ranks["a"] > ranks["d"] * 0.5  # triangle members hold rank
+
+
+def test_lpa_two_communities(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "src string, dst string",
+    )
+    out = {r["entity"]: r["community"] for r in lpa_communities(e).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
