@@ -230,6 +230,139 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+# ------------------------------------------- dedup / similarity / text / search
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    """Embedding of vec_id=0 (float32→float64 exact), the ANN query."""
+    import duckdb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    (v,) = duckdb.sql(f"SELECT embedding FROM read_parquet('{p}') WHERE vec_id = 0").fetchone()
+    return [float(x) for x in v]
+
+
+BM25_QUERY = "spark data stream query window"
+
+
+def q_text_lang_id(spark, sf_dir):
+    from semstreams_spark.operators.textops import lang_id
+
+    d = _tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("detected_lang"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from semstreams_spark.operators.textops import fingerprint
+
+    return _tbl(spark, sf_dir, "documents").select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from semstreams_spark.operators.textops import quality_features
+
+    q = quality_features(_tbl(spark, sf_dir, "documents"))
+    return q.select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "uniq_token_ratio")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from semstreams_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from semstreams_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from semstreams_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_tbl(spark, sf_dir, "documents"), max_hamming=14)
+
+
+def q_cosine_topk(spark, sf_dir):
+    from semstreams_spark.operators.similarity import cosine_topk
+
+    top = cosine_topk(_tbl(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=10, exclude_self=0)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from semstreams_spark.operators.similarity import ann_topk_lsh
+
+    top = ann_topk_lsh(_tbl(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    from semstreams_spark.search import bm25_search
+
+    return bm25_search(_tbl(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
+def q_hybrid_search(spark, sf_dir):
+    from semstreams_spark.search import hybrid_search
+
+    return hybrid_search(_tbl(spark, sf_dir, "documents"), BM25_QUERY, k=10, lang="en")
+
+
+# --------------------------------------------------------- graph analytics
+
+
+def _entity_edges(spark, sf_dir):
+    """Entity co-mention graph: distinct (e1 < e2) pairs per conversation."""
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    m = (
+        triples.filter(F.col("predicate") == "conv.turn.mentions")
+        .select(
+            F.col("context").alias("conv_id"),
+            F.element_at(F.split(F.col("object"), r"\."), -1).alias("e"),
+        )
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.e") < F.col("b.e")))
+        .select(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .distinct()
+    )
+
+
+def q_path_2hop(spark, sf_dir):
+    from semstreams_spark.graph import bounded_traversal
+
+    edges = _entity_edges(spark, sf_dir).withColumn("edge_type", F.lit("comention"))
+    return bounded_traversal(edges, "ent_000", max_depth=2, decay=0.85)
+
+
+def q_sliding_degree(spark, sf_dir):
+    from semstreams_spark.operators.windows import node_degree_sliding
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    m = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
+        F.col("object").alias("src"), F.col("subject").alias("dst"), "ts"
+    )
+    return node_degree_sliding(m, "10 minutes", "5 minutes")
+
+
+def q_pagerank_entities(spark, sf_dir):
+    from semstreams_spark.graph import pagerank
+
+    pr = pagerank(_entity_edges(spark, sf_dir), max_iter=10, tol=0)
+    return pr.select("entity", F.round("rank", 8).alias("rank")).orderBy(
+        F.desc("rank"), F.asc("entity")
+    ).limit(20)
+
+
+def q_lpa_entities(spark, sf_dir):
+    from semstreams_spark.graph import lpa_communities
+
+    return lpa_communities(_entity_edges(spark, sf_dir), max_iter=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "triples_extract": q_triples_extract,
@@ -249,6 +382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_search": q_hybrid_search,
+        "path_2hop": q_path_2hop,
+        "sliding_degree": q_sliding_degree,
+        "pagerank_entities": q_pagerank_entities,
+        "lpa_entities": q_lpa_entities,
     }
 
 
@@ -312,4 +459,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
             FROM documents
         """,
+        "text_lang_id": oracles.sql_text_lang_id(),
+        "doc_fingerprint": oracles.sql_doc_fingerprint(),
+        "doc_quality": oracles.sql_doc_quality(),
+        "jaccard_pairs": oracles.sql_jaccard_pairs(0.5),
+        "cosine_topk": oracles.sql_cosine_topk(
+            _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
+        ),
+        "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
+        "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
+        "path_2hop": oracles.sql_path_2hop(sf),
+        "sliding_degree": oracles.sql_sliding_degree(sf),
+        # minhash_pairs / simhash_pairs / ann_topk / pagerank_entities /
+        # lpa_entities: hash-family and iterative ops — rows-only check
     }

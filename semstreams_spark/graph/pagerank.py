@@ -44,41 +44,56 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
+    # size the iteration's shuffle width to the graph: a 1000-executor
+    # cluster on a 10^9-node graph wants wide shuffles, a few-hundred-node
+    # projected graph wants 1 — per-stage fixed costs dominate otherwise
+    p = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 5000))
+    nodes = nodes.repartition(p, "entity").cache()
+
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    links = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
+    links = edges.join(out_deg, "src").select("src", "dst", "deg").repartition(p, "src").cache()
+
+    # dangling node set is static — compute once
+    dangling_nodes = nodes.join(out_deg, nodes["entity"] == out_deg["src"], "left_anti").cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(max_iter):
+    prev = None
+    for it in range(max_iter):
         contribs = (
             links.join(ranks, links["src"] == ranks["entity"])
             .select(F.col("dst").alias("entity"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("entity")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: nodes with no out-edges leak rank; redistribute
-        dangling = (
-            ranks.join(out_deg, ranks["entity"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass folded in lazily (scalar via crossJoin — no
+        # driver round-trip per iteration)
+        dm = dangling_nodes.join(ranks, "entity").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             nodes.join(contribs, "entity", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "entity",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.col("dmass") / n + F.coalesce(F.col("inflow"), F.lit(0.0)))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "entity")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
+        prev, ranks = ranks, new_ranks
+        # convergence test costs a driver action — sample it
+        if tol > 0 and (it % 5 == 4 or it == max_iter - 1):
+            delta = (
+                ranks.alias("n")
+                .join(prev.alias("o"), "entity")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                break
     nodes.unpersist()
     links.unpersist()
+    dangling_nodes.unpersist()
     return ranks

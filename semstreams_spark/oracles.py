@@ -201,6 +201,152 @@ FROM m a JOIN m b
 GROUP BY 1, 2, 3"""
 
 
+_TOKS = "list_filter(str_split_regex(lower(text), '[^a-z0-9_]+'), x -> len(x) > 0)"
+
+
+def sql_text_lang_id() -> str:
+    """Stopword-voting lang id — mirrors textops.lang_id exactly
+    (occurrence counts, ≥2 threshold, alphabetical tie-break)."""
+    from .operators.textops import LANG_STOPWORDS
+
+    counts = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        counts.append(
+            f"len(list_filter({_TOKS}, x -> list_contains({arr}, x))) AS s_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{x} = best THEN '{x}'" for x in langs[:-1]) + f" ELSE '{langs[-1]}' END"
+    return f"""WITH c AS (SELECT doc_id, {', '.join(counts)} FROM documents),
+b AS (SELECT doc_id, {best} AS best, * FROM c)
+SELECT doc_id, CASE WHEN best >= 2 THEN {case} ELSE 'und' END AS detected_lang FROM b"""
+
+
+def sql_doc_fingerprint() -> str:
+    return r"""SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents"""
+
+
+def sql_doc_quality() -> str:
+    return f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(toks) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_token_ratio
+FROM t"""
+
+
+def sql_jaccard_pairs(threshold: float = 0.5) -> str:
+    """Word-3-gram Jaccard pairs — mirrors dedup.jaccard_pairs."""
+    return f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                END) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= {threshold}"""
+
+
+def sql_cosine_topk(query_vec: list[float], k: int = 10, exclude_id: int = 0) -> str:
+    """Brute-force cosine top-k vs a literal query vector; sequential
+    left-fold sums in both engines, rounded to 6dp."""
+    dim = len(query_vec)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""WITH q AS (SELECT {qlit} AS qv),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {dim + 1}), i -> embedding[i]::DOUBLE * qv[i])) AS dot,
+         sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> qv[i] * qv[i]))) AS nb
+  FROM embeddings, q
+  WHERE vec_id <> {exclude_id}
+)
+SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}"""
+
+
+def sql_bm25_topk(query: str, k: int = 10, lang: str | None = None) -> str:
+    """Sparse BM25 scoring — mirrors search.bm25.bm25_search (k1=1.5,
+    b=0.75, BM25+1 idf). NB DuckDB log() is base-10: use ln()."""
+    qterms = sorted({t for t in query.lower().split() if t})
+    qlist = "(" + ", ".join(f"'{t}'" for t in qterms) + ")"
+    where = f"WHERE lang = '{lang}'" if lang else ""
+    return f"""WITH docs_f AS (SELECT * FROM documents {where}),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM docs_f),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks WHERE term IN {qlist} GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.5 + 1)) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score_t
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, round(SUM(score_t), 6) AS score, COUNT(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def sql_path_2hop(sf: float, start: str = "ent_000", decay: float = 0.85) -> str:
+    """Depth-2 bounded traversal over the entity co-mention graph."""
+    return f"""WITH {triples_cte(sf)},
+m AS (
+  SELECT DISTINCT context AS conv_id, str_split(object, '.')[-1] AS e
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+edges AS (
+  SELECT DISTINCT a.e AS src, b.e AS dst
+  FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.e < b.e
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+d1 AS (SELECT DISTINCT dst AS entity FROM und WHERE src = '{start}'),
+d2 AS (
+  SELECT DISTINCT u.dst AS entity
+  FROM und u JOIN d1 ON u.src = d1.entity
+  WHERE u.dst <> '{start}' AND u.dst NOT IN (SELECT entity FROM d1)
+)
+SELECT '{start}' AS entity, 0 AS depth, 1.0 AS score
+UNION ALL SELECT entity, 1, 1.0 * {decay} FROM d1
+UNION ALL SELECT entity, 2, 1.0 * {decay} * {decay} FROM d2"""
+
+
+def sql_sliding_degree(sf: float, width_s: int = 600, slide_s: int = 300) -> str:
+    """Sliding-window (10min/5min) mention in-degree per entity — each
+    event lands in width/slide windows."""
+    n_win = width_s // slide_s
+    return f"""WITH {triples_cte(sf)},
+m AS (
+  SELECT object AS entity, ts FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+w AS (
+  SELECT entity,
+         make_timestamp((CAST(floor(epoch(ts) / {slide_s}) AS BIGINT) - k.k) * {slide_s} * 1000000) AS window_start
+  FROM m, (SELECT unnest(range(0, {n_win})) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL {width_s} SECOND AS window_end,
+       entity AS src, COUNT(*) AS out_degree
+FROM w GROUP BY 1, 2, 3"""
+
+
 def sql_rule_events(sf: float) -> str:
     """CEP rules over latest entity state (R1-R4): see rules/engine.py
     DEFAULT_RULES — keep in sync."""
