@@ -363,6 +363,23 @@ def q_lpa_entities(spark, sf_dir):
     return lpa_communities(_entity_edges(spark, sf_dir), max_iter=8)
 
 
+def q_json_filter_events(spark, sf_dir):
+    """P1 JSONFilter: dotted JSON-path access + numeric coercion + implicit AND."""
+    from semstreams_spark.operators.transforms import FilterRule, json_filter
+
+    e = _tbl(spark, sf_dir, "events")
+    return json_filter(
+        e, [FilterRule("props.k", "gte", "80"), FilterRule("value", "gt", "50")]
+    ).select("event_id", "event_type", "value")
+
+
+def q_top_terms(spark, sf_dir):
+    """T5 TF term ranking with stopword filter, deterministic top-20."""
+    from semstreams_spark.graph.summarize import top_terms
+
+    return top_terms(_tbl(spark, sf_dir, "documents"), "text", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "triples_extract": q_triples_extract,
@@ -396,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_degree": q_sliding_degree,
         "pagerank_entities": q_pagerank_entities,
         "lpa_entities": q_lpa_entities,
+        "json_filter_events": q_json_filter_events,
+        "top_terms": q_top_terms,
     }
 
 
@@ -470,6 +489,12 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
         "path_2hop": oracles.sql_path_2hop(sf),
         "sliding_degree": oracles.sql_sliding_degree(sf),
+        "json_filter_events": """
+            SELECT event_id, event_type, value FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 80
+              AND value > 50
+        """,
+        "top_terms": oracles.sql_top_terms(k=20),
         # minhash_pairs / simhash_pairs / ann_topk / pagerank_entities /
         # lpa_entities: hash-family and iterative ops — rows-only check
     }

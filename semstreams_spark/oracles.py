@@ -347,6 +347,17 @@ SELECT window_start,
 FROM w GROUP BY 1, 2, 3"""
 
 
+def sql_top_terms(k: int = 20) -> str:
+    """TF term ranking with stopwords — mirrors graph.summarize.top_terms."""
+    from .graph.summarize import STOPWORDS
+
+    sw = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, COUNT(*) AS tf FROM t
+WHERE term NOT IN {sw}
+GROUP BY term ORDER BY tf DESC, term ASC LIMIT {k}"""
+
+
 def sql_rule_events(sf: float) -> str:
     """CEP rules over latest entity state (R1-R4): see rules/engine.py
     DEFAULT_RULES — keep in sync."""

@@ -1,0 +1,168 @@
+"""Transform family (P1-P4), query API surface (§2.11), summarizer (G5),
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from semstreams_spark.extract import extract_triples
+from semstreams_spark.graph.summarize import community_summaries, top_terms
+from semstreams_spark.operators import edges_table, nodes_table
+from semstreams_spark.operators.multimodal import (
+    extract_image_features,
+    media_metadata_stats,
+    sample_video_frames,
+    synthesize_media,
+)
+from semstreams_spark.operators.transforms import (
+    FilterRule,
+    json_filter,
+    json_map,
+    json_to_entity,
+)
+from semstreams_spark.plans import GraphQueryAPI
+
+T0 = dt.datetime(2025, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "signup", 10.5, '{"k": 87, "tag": "vip"}'),
+            (2, "purchase", 99.0, '{"k": 3, "tag": "std"}'),
+            (3, "error", 0.0, '{"k": 87}'),
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+
+
+def test_json_filter_nested_and_coercion(events_df):
+    out = json_filter(
+        events_df,
+        [FilterRule("props.k", "eq", "87"), FilterRule("value", "gt", "1")],
+    ).collect()
+    assert [r["event_id"] for r in out] == [1]  # implicit AND; numeric coercion on JSON string
+
+
+def test_json_filter_contains(events_df):
+    out = json_filter(events_df, [FilterRule("event_type", "contains", "up")]).collect()
+    assert {r["event_id"] for r in out} == {1}
+
+
+def test_json_map(events_df):
+    out = json_map(
+        events_df,
+        rename={"event_type": "etype"},
+        transforms={"etype": "uppercase"},
+        add_fields={"env": "prod"},
+        remove_fields=["props"],
+    )
+    r = out.filter(F.col("event_id") == 1).collect()[0]
+    assert r["etype"] == "SIGNUP" and r["env"] == "prod"
+    assert "props" not in out.columns
+
+
+def test_json_to_entity(events_df):
+    out = json_to_entity(events_df, "event_id", "event_type").collect()
+    r = {x["entity_id"]: x for x in out}
+    assert r["1"]["entity_type"] == "signup"
+    assert r["1"]["properties"]["value"] == "10.5"
+    assert "event_id" not in r["1"]["properties"]
+
+
+@pytest.fixture(scope="module")
+def api(spark, transcripts_small):
+    t = extract_triples(transcripts_small)
+    return GraphQueryAPI(nodes=nodes_table(t).cache(), edges=edges_table(t).cache(), triples=t.cache())
+
+
+def test_point_lookups(api):
+    some_id = api.nodes.select("id").orderBy("id").first()["id"]
+    assert api.get_entity(some_id).count() == 1
+    assert api.exists_entity(some_id)
+    assert not api.exists_entity("no.such.entity.x.y.z")
+    ids = [r["id"] for r in api.nodes.select("id").orderBy("id").limit(3).collect()]
+    assert api.get_entities_batch(ids).count() == 3
+
+
+def test_scans_and_predicate(api):
+    assert api.count_entities() == api.nodes.count()
+    assert api.list_entities(limit=5).count() == 5
+    turns = api.query_entities(entity_type="turn")
+    assert turns.count() == api.nodes.count()  # all subjects are turns
+    subj = api.query_by_predicate("conv.turn.tool")
+    assert subj.count() > 0
+
+
+def test_relationships(api):
+    e = api.edges.first()
+    out = api.relationships_out(e["src"])
+    assert out.count() >= 1
+    inc = api.relationships_in(e["dst"])
+    assert inc.count() >= 1
+    assert api.verify_relationship(e["src"], e["dst"], e["edge_type"])
+    assert not api.verify_relationship(e["src"], e["dst"], "no_such_type")
+    both = api.relationships_both(e["src"])
+    assert both.count() >= out.count()
+
+
+def test_snapshot_truncation(api):
+    snap, truncated = api.snapshot(max_entities=10)
+    assert snap.count() == 10 and truncated
+    snap2, truncated2 = api.snapshot(entity_types=["nope"], max_entities=10)
+    assert snap2.count() == 0 and not truncated2
+
+
+def test_temporal_range(api):
+    lo = api.triples.agg(F.min("ts")).collect()[0][0]
+    hi = lo + dt.timedelta(hours=1)
+    sub = api.query_temporal(lo, hi)
+    assert 0 < sub.count() < api.triples.count()
+
+
+def test_top_terms_and_summaries(spark):
+    docs = spark.createDataFrame(
+        [("e1", "alpha beta alpha gamma"), ("e2", "alpha delta"), ("e3", "zeta zeta zeta")],
+        "entity string, text string",
+    )
+    members = spark.createDataFrame(
+        [("e1", "c1"), ("e2", "c1"), ("e3", "c2")], "entity string, community string"
+    )
+    terms = top_terms(docs, "text", k=2).collect()
+    assert terms[0]["term"] == "alpha" and terms[0]["tf"] == 3  # ties break term-asc
+    summ = {r["community"]: r for r in community_summaries(members, docs, k_terms=2).collect()}
+    assert summ["c1"]["n_members"] == 2
+    assert "alpha" in summ["c1"]["keywords"]
+    assert summ["c2"]["summary"].startswith("Community c2: 1 members")
+
+
+def test_multimodal_features_and_pruning(spark, tmp_path):
+    media = synthesize_media(spark, n=24)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 8  # every 3rd is an image
+    assert all(0 <= r["brightness"] <= 255 for r in rows)
+    assert all(len(r["phash"]) == 64 for r in rows)
+    # determinism: same content -> same features
+    rows2 = extract_image_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    frames = sample_video_frames(media, every_nth=10)
+    f0 = frames.groupBy("media_id").count().first()
+    assert f0["count"] >= 1
+
+    stats = media_metadata_stats(media)
+    assert stats.count() == 3
+    # column pruning: a metadata-only projection over the parquet table
+    # must not read the binary column (check the scan's ReadSchema)
+    pq_dir = str(tmp_path / "media_pq")
+    media.write.mode("overwrite").parquet(pq_dir)
+    meta_only = spark.read.parquet(pq_dir).select("kind", "meta.width").groupBy("kind").count()
+    scan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = scan.split("ReadSchema:")[-1]
+    assert "binary" not in read_schema
+    assert "kind" in read_schema
