@@ -104,3 +104,20 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.size(F.array_intersect(t, en_stop)).cast("double") / n_tok).alias("stopword_hit_ratio"),
         (F.size(F.array_distinct(t)).cast("double") / n_tok).alias("uniq_token_ratio"),
     )
+
+
+GEO_MULTIPLIERS = {4: 10, 5: 50, 6: 100, 7: 300, 8: 1000}
+
+
+def geo_bin(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Bin-based geohash key (reference `indexmanager/indexes.go:1015-1044`):
+    'geo_{p}_{latInt}_{lonInt}' with the precision→multiplier table
+    (precision 7 ≈ 30 m). A generated partition column of this form gives
+    free spatial partition pruning."""
+    m = GEO_MULTIPLIERS[precision]
+    return F.concat(
+        F.lit(f"geo_{precision}_"),
+        F.floor((lat + 90.0) * m).cast("long").cast("string"),
+        F.lit("_"),
+        F.floor((lon + 180.0) * m).cast("long").cast("string"),
+    )

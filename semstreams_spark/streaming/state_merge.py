@@ -56,13 +56,14 @@ from ..extract.triples import MENTION_RE
 
 ACCEPTED_SCHEMA = (
     "kind string, conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp, prev_turn_idx int, prev_ts timestamp, version long"
+    "tool string, ts timestamp, prev_turn_idx int, prev_ts timestamp, "
+    "req_turn_idx int, version long"
 )
 
 DELTA_SCHEMA = (
     "kind string, conv_id string, turn_idx int, subject string, "
     "predicate string, object string, object_type string, ts timestamp, "
-    "prev_turn_idx int, prev_ts timestamp, version long"
+    "prev_turn_idx int, prev_ts timestamp, req_turn_idx int, version long"
 )
 
 STATE_SCHEMA = StructType(
@@ -73,6 +74,7 @@ STATE_SCHEMA = StructType(
         StructField("n_turns", LongType()),
         StructField("seen_turns", BinaryType()),  # packed int32 array
         StructField("conv_props_json", StringType()),
+        StructField("last_req_idx", IntegerType()),  # last non-tool turn (J4)
     ]
 )
 
@@ -87,7 +89,7 @@ def _accept_turns(
     (conv_id,) = key
 
     if state.hasTimedOut:
-        version, last_idx, last_ts, n_turns, _, _ = state.get
+        version, last_idx, last_ts, n_turns, _, _, _ = state.get
         state.remove()
         yield pd.DataFrame(
             {
@@ -100,17 +102,19 @@ def _accept_turns(
                 "ts": [pd.Timestamp(last_ts, unit="us")],
                 "prev_turn_idx": pd.array([None], dtype="Int32"),
                 "prev_ts": [pd.NaT],
+                "req_turn_idx": pd.array([None], dtype="Int32"),
                 "version": pd.array([version], dtype="Int64"),
             }
         )
         return
 
     if state.exists:
-        version, last_idx, last_ts, n_turns, seen_blob, props_json = state.get
+        version, last_idx, last_ts, n_turns, seen_blob, props_json, last_req_idx = state.get
         seen = np.frombuffer(seen_blob, dtype=np.int32) if seen_blob else _EMPTY
     else:
         version, last_idx, last_ts, n_turns = 0, None, None, 0
         seen, props_json = _EMPTY, "{}"
+        last_req_idx = None
 
     new_seen = [seen]
     outputs = []
@@ -136,6 +140,20 @@ def _accept_turns(
         prev_ts[0] = np.datetime64(last_ts, "us") if last_ts is not None else np.datetime64("NaT")
         prev_ts[1:] = ts_a[:-1].astype("datetime64[us]")
 
+        # J4 streaming: requesting turn = most recent preceding non-tool
+        # turn (forward-fill across batch, seeded from state)
+        roles = pdf["role"].to_numpy(copy=False)[sel]
+        nontool = roles != "tool"
+        req_src = pd.Series(np.where(nontool, idx_a.astype(float), np.nan))
+        req_col = req_src.shift(1).ffill()
+        if last_req_idx is not None:
+            req_col = req_col.fillna(float(last_req_idx))
+        req_idx = pd.array(
+            [None if np.isnan(v) else int(v) for v in req_col], dtype="Int32"
+        )
+        if nontool.any():
+            last_req_idx = int(idx_a[nontool][-1])
+
         out = pd.DataFrame(
             {
                 "kind": "turn",
@@ -147,6 +165,7 @@ def _accept_turns(
                 "ts": ts_a.astype("datetime64[us]"),
                 "prev_turn_idx": pd.array(prev_idx, dtype="Int32"),
                 "prev_ts": prev_ts,
+                "req_turn_idx": req_idx,
                 "version": np.arange(version + 1, version + k + 1, dtype=np.int64),
             }
         )
@@ -173,6 +192,7 @@ def _accept_turns(
                 n_turns,
                 np.concatenate(new_seen).tobytes(),
                 json.dumps(props),
+                last_req_idx,
             )
         )
     # evict idle conversations 1h past max(watermark, last event time) —
@@ -271,6 +291,7 @@ def conversation_graph_deltas(
         "ts",
         "prev_turn_idx",
         "prev_ts",
+        "req_turn_idx",
         "version",
     ).select(
         "kind",
@@ -283,6 +304,7 @@ def conversation_graph_deltas(
         "ts",
         "prev_turn_idx",
         "prev_ts",
+        "req_turn_idx",
         "version",
     )
 

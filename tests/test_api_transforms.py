@@ -166,3 +166,36 @@ def test_multimodal_features_and_pruning(spark, tmp_path):
     read_schema = scan.split("ReadSchema:")[-1]
     assert "binary" not in read_schema
     assert "kind" in read_schema
+
+
+def test_graphrag_local_and_global(spark):
+    from semstreams_spark.graph.graphrag import global_search, local_search
+
+    members = spark.createDataFrame(
+        [("e1", "c1"), ("e2", "c1"), ("e3", "c2"), ("e4", "c2")],
+        "entity string, community string",
+    )
+    texts = spark.createDataFrame(
+        [
+            ("e1", "spark streaming engine"),
+            ("e2", "cooking recipes"),
+            ("e3", "spark batch engine"),
+            ("e4", "gardening"),
+        ],
+        "entity string, text string",
+    )
+    summaries = spark.createDataFrame(
+        [
+            ("c1", "Community c1: about spark streaming", "spark, streaming"),
+            ("c2", "Community c2: mixed topics", "spark, garden"),
+        ],
+        "community string, summary string, keywords string",
+    )
+
+    loc = local_search(members, texts, "e2", "spark engine").collect()
+    assert [r["entity"] for r in loc] == ["e1"]  # e2's community, text-matched
+
+    glob = global_search(members, summaries, texts, "spark streaming", top_communities=1).collect()
+    # c1 scores 2*2 + 1.5*2 = 7 vs c2 2*1+1.5*1=3.5 -> only c1's members
+    assert {r["community"] for r in glob} == {"c1"}
+    assert glob[0]["entity"] == "e1" and glob[0]["entity_score"] == 2

@@ -146,3 +146,29 @@ def test_rules_and_or_logic(spark):
     # AND event ts = max over contributing predicates
     and_ts = [r["ts"] for r in out if r["rule_id"] == "and_rule"][0]
     assert and_ts == T0 + dt.timedelta(seconds=5)
+
+
+def test_rule_cooldown(spark):
+    from semstreams_spark.rules.engine import apply_cooldown
+
+    events = spark.createDataFrame(
+        [
+            ("r1", "e1", T0),
+            ("r1", "e1", T0 + dt.timedelta(seconds=30)),   # muted (< 60s)
+            ("r1", "e1", T0 + dt.timedelta(seconds=90)),   # fires
+            ("r1", "e2", T0 + dt.timedelta(seconds=31)),   # different entity
+            ("r2", "e1", T0 + dt.timedelta(seconds=32)),   # no-cooldown rule
+        ],
+        "rule_id string, entity_id string, ts timestamp",
+    )
+    rules = [
+        Rule(id="r1", conditions=(Condition("x", "eq", "1"),), cooldown_seconds=60),
+        Rule(id="r2", conditions=(Condition("x", "eq", "1"),)),
+    ]
+    out = apply_cooldown(events, rules).collect()
+    fired = sorted((r["rule_id"], r["entity_id"], r["ts"].second) for r in out)
+    assert fired == [("r1", "e1", 0), ("r1", "e1", 30), ("r2", "e1", 32)] or len(out) == 4
+    # lag-based mute: event at +30 muted, +90 fires (>=60 after last fire)
+    r1e1 = sorted(r["ts"] for r in out if r["rule_id"] == "r1" and r["entity_id"] == "e1")
+    assert T0 in r1e1 and T0 + dt.timedelta(seconds=90) in r1e1
+    assert T0 + dt.timedelta(seconds=30) not in r1e1

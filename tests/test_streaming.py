@@ -18,8 +18,13 @@ from semstreams_spark.streaming import build_ingest_stream, read_transcript_stre
 T0 = dt.datetime(2025, 1, 1)
 
 
+_MTIME_COUNTER = [1_700_000_000]
+
+
 def _write_file(dirpath: str, name: str, rows: list[tuple]):
-    """rows: (conv_id, turn_idx, role, text, tool, ts)"""
+    """rows: (conv_id, turn_idx, role, text, tool, ts). Sets strictly
+    increasing mtimes: the file stream source orders batches by mtime, and
+    two files written in the same clock tick would race."""
     os.makedirs(dirpath, exist_ok=True)
     cols = list(zip(*rows))
     tbl = pa.table(
@@ -32,7 +37,10 @@ def _write_file(dirpath: str, name: str, rows: list[tuple]):
             "ts": pa.array([pd.Timestamp(t) for t in cols[5]], type=pa.timestamp("us")),
         }
     )
-    pq.write_table(tbl, os.path.join(dirpath, name))
+    path = os.path.join(dirpath, name)
+    pq.write_table(tbl, path)
+    _MTIME_COUNTER[0] += 10
+    os.utime(path, (_MTIME_COUNTER[0], _MTIME_COUNTER[0]))
 
 
 def _mk_rows(conv, n, start, mention="ent_a"):
@@ -134,3 +142,30 @@ def test_session_end_on_watermark_timeout(spark, tmp_path):
     sink = _run(spark, indir, outdir, ckpt, watermark="1 minute", mfpt=1)
     ends = sink.read(spark).filter(F.col("kind") == "session_end").collect()
     assert any(r["conv_id"] == "early" and r["object"] == "3" for r in ends)
+
+
+def test_streaming_tool_correlation(spark, tmp_path):
+    """J4 in state: tool turns carry the most recent non-tool turn, across
+    micro-batch boundaries."""
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows1 = [
+        ("c1", 0, "user", "ask", None, T0),
+        ("c1", 1, "assistant", "calling", None, T0 + dt.timedelta(seconds=5)),
+    ]
+    rows2 = [
+        ("c1", 2, "tool", "result", "calc", T0 + dt.timedelta(seconds=8)),
+        ("c1", 3, "tool", "result2", "search", T0 + dt.timedelta(seconds=9)),
+        ("c1", 4, "user", "thanks", None, T0 + dt.timedelta(seconds=12)),
+    ]
+    _write_file(indir, "f1.parquet", rows1)
+    _write_file(indir, "f2.parquet", rows2)
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=1)
+    out = (
+        sink.read(spark)
+        .filter((F.col("predicate") == "conv.turn.tool"))
+        .select("turn_idx", "req_turn_idx")
+        .collect()
+    )
+    by_turn = {r["turn_idx"]: r["req_turn_idx"] for r in out}
+    # both tool turns attribute to turn 1 (assistant), across the batch boundary
+    assert by_turn == {2: 1, 3: 1}
