@@ -380,6 +380,39 @@ def q_top_terms(spark, sf_dir):
     return top_terms(_tbl(spark, sf_dir, "documents"), "text", k=20)
 
 
+def q_alert_cooldown(spark, sf_dir):
+    """R6 cooldown: high-value event alerts per user, muted for 1h after a
+    fire (lag-window semantics, deterministic)."""
+    from semstreams_spark.rules.engine import Condition, Rule, apply_cooldown
+
+    e = _tbl(spark, sf_dir, "events")
+    alerts = e.filter(F.col("value") > 180).select(
+        F.lit("high_value").alias("rule_id"),
+        F.col("user_id").cast("string").alias("entity_id"),
+        "ts",
+    )
+    rules = [Rule(id="high_value", conditions=(Condition("value", "gt", "180"),), cooldown_seconds=3600)]
+    return apply_cooldown(alerts, rules)
+
+
+def q_graphrag_global(spark, sf_dir):
+    """G12 global search over the entity co-mention graph: LPA communities
+    → statistical summaries → weighted scoring → member rerank."""
+    from semstreams_spark.graph import lpa_communities
+    from semstreams_spark.graph.graphrag import global_search
+    from semstreams_spark.graph.summarize import community_summaries
+
+    edges = _entity_edges(spark, sf_dir).filter(
+        F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
+    )
+    members = lpa_communities(edges, max_iter=6).cache()
+    # node "text" = the entity's mention contexts are heavy; use entity
+    # name itself as the text surrogate (deterministic, cheap)
+    texts = members.select(F.col("entity"), F.col("entity").alias("text"))
+    summaries = community_summaries(members, texts, k_terms=5)
+    return global_search(members, summaries, texts, "ent_000 ent_001", top_communities=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "triples_extract": q_triples_extract,
@@ -415,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_entities": q_lpa_entities,
         "json_filter_events": q_json_filter_events,
         "top_terms": q_top_terms,
+        "alert_cooldown": q_alert_cooldown,
+        "graphrag_global": q_graphrag_global,
     }
 
 
@@ -495,6 +530,19 @@ def oracle_sql() -> dict[str, str]:
               AND value > 50
         """,
         "top_terms": oracles.sql_top_terms(k=20),
+        "alert_cooldown": """
+            WITH alerts AS (
+              SELECT 'high_value' AS rule_id, CAST(user_id AS VARCHAR) AS entity_id, ts
+              FROM events WHERE value > 180
+            ),
+            g AS (
+              SELECT rule_id, entity_id, ts,
+                     lag(ts) OVER (PARTITION BY rule_id, entity_id ORDER BY ts) AS prev_ts
+              FROM alerts
+            )
+            SELECT rule_id, entity_id, ts FROM g
+            WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 3600
+        """,
         # minhash_pairs / simhash_pairs / ann_topk / pagerank_entities /
         # lpa_entities: hash-family and iterative ops — rows-only check
     }

@@ -49,6 +49,8 @@ def batch_queries(spark, sf_dir):
         "degree_tumbling",
         "rule_events",
         "q1_pricing",
+        "bm25_topk",
+        "minhash_pairs",
     ]
     out = {}
     for n in names:

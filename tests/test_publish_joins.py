@@ -1,0 +1,68 @@
+"""Published-table partition pruning + stream-stream interval join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from semstreams_spark.extract import extract_triples
+from semstreams_spark.streaming.joins import tool_request_interval_join
+from semstreams_spark.streaming.publish import (
+    compact_entity_tables,
+    publish_triples,
+    read_triples_hour_range,
+)
+from tests.test_streaming import T0, _mk_rows, _write_file
+
+
+def test_publish_partition_pruning(spark, transcripts_small, tmp_path):
+    out = str(tmp_path / "triples_pub")
+    deltas = extract_triples(transcripts_small).withColumn("kind", F.lit("triple"))
+    publish_triples(deltas, out, mode="overwrite")
+
+    sub = read_triples_hour_range(spark, out, "2025-01-01-00", "2025-01-01-01")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "hour" in plan.split("PartitionFilters")[1][:200]
+    n_all = spark.read.parquet(out).count()
+    assert 0 < sub.count() < n_all
+
+    # compaction derives the same entity states as direct batch compute
+    root = str(tmp_path / "compact")
+    compact_entity_tables(spark, out, root)
+    from semstreams_spark.operators import entity_states
+
+    direct = entity_states(extract_triples(transcripts_small))
+    compacted = spark.read.parquet(root + "/entity_states")
+    assert compacted.count() == direct.count()
+
+
+def test_interval_join_streaming(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    rows = [
+        ("c1", 0, "user", "ask", None, T0),
+        ("c1", 1, "assistant", "will call", None, T0 + dt.timedelta(seconds=30)),
+        ("c1", 2, "tool", "result", "calc", T0 + dt.timedelta(seconds=50)),
+        # requester outside the 120s lag window:
+        ("c2", 0, "user", "old ask", None, T0),
+        ("c2", 1, "tool", "late result", "search", T0 + dt.timedelta(seconds=600)),
+    ]
+    _write_file(indir, "f1.parquet", rows)
+    _write_file(indir, "f2.parquet", _mk_rows("c9", 2, T0 + dt.timedelta(hours=3)))
+
+    from semstreams_spark.streaming import read_transcript_stream
+
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    joined = tool_request_interval_join(stream, watermark="1 minute", max_lag_seconds=120)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from sj_out").collect()
+    c1 = [(r["tool_turn_idx"], r["req_turn_idx"]) for r in out if r["conv_id"] == "c1"]
+    assert sorted(c1) == [(2, 0), (2, 1)]  # both candidates within 120s
+    assert not [r for r in out if r["conv_id"] == "c2"]  # outside lag window
