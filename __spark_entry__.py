@@ -517,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.sql_doc_fingerprint(),
         "doc_quality": oracles.sql_doc_quality(),
         "jaccard_pairs": oracles.sql_jaccard_pairs(0.5),
+        "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "cosine_topk": oracles.sql_cosine_topk(
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
         ),

@@ -113,8 +113,10 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidate pairs.
 
-    Shuffle key = (band_idx, band_hash): bounded fan-out, no all-pairs.
-    """
+    Shuffle key = (band_idx, band values): bounded fan-out, no all-pairs.
+    The band key is the raw minhash slice (array equality) rather than a
+    re-hash — engine-portable, so the whole LSH pipeline has an exact
+    DuckDB oracle."""
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -122,7 +124,7 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("bh"),
                 ),
             )
         ).alias("bb"),

@@ -4,9 +4,9 @@ Batch (and foreachBatch) forms of the reference's stateful entity merge:
 
 - **LWW merge** — ``MergeTriples`` keeps the newer triple per
   (Subject, Predicate) and carries non-conflicting older ones forward
-  (``graph/helpers.go:101-134``). Spark form: ``row_number() over
-  (partition by subject, predicate order by ts desc, seq desc, object
-  desc) = 1``. The reference breaks ties by arrival order (it stamps
+  (``graph/helpers.go:101-134``). Spark form: hash aggregation
+  ``max_by(value, struct(ts, seq, object))`` per (subject, predicate)
+  — map-side combinable. The reference breaks ties by arrival order (it stamps
   ``time.Now()``, ``messagemanager/processor.go:237``); our engine
   defines the deterministic contract ``(ts, seq=turn_idx, object)`` so
   output is bit-reproducible for any input file order (SURVEY §4.2.4).
@@ -29,12 +29,11 @@ All pure Catalyst: window functions + aggregations, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def _lww_order() -> list[Column]:
-    """Deterministic LWW ordering contract: event time, then turn seq, then object."""
-    return [F.col("ts").desc(), F.col("seq").desc(), F.col("object").desc()]
+# Deterministic LWW ordering contract: (ts, seq=turn_idx, object),
+# greatest wins — shared by entity_states and the DuckDB oracles.
 
 
 def predicate_to_edge_type(pred: Column) -> Column:
@@ -48,12 +47,23 @@ def predicate_to_edge_type(pred: Column) -> Column:
 
 def entity_states(triples: DataFrame) -> DataFrame:
     """Latest (object, object_type, ts) per (subject, predicate) — the flat
-    entity-state table (one row per live property/relationship)."""
-    w = Window.partitionBy("subject", "predicate").orderBy(*_lww_order())
+    entity-state table (one row per live property/relationship).
+
+    Implemented as a hash aggregation (``max_by`` over the LWW ordering
+    struct) rather than a row_number window: partial aggregation runs
+    map-side so the shuffle carries one candidate row per key per input
+    partition instead of every triple, and no per-partition sort is
+    needed — the difference between O(n log n) + full shuffle and O(n) +
+    combiner shuffle at 10^12 rows. Tie-break identical to the window
+    form: lexicographic struct (ts, seq, object)."""
+    winner = F.max_by(
+        F.struct("object", "object_type", "source", "ts", "confidence", "context"),
+        F.struct("ts", "seq", "object"),
+    )
     return (
-        triples.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("subject", "predicate", "object", "object_type", "source", "ts", "confidence", "context")
+        triples.groupBy("subject", "predicate")
+        .agg(winner.alias("w"))
+        .select("subject", "predicate", "w.object", "w.object_type", "w.source", "w.ts", "w.confidence", "w.context")
     )
 
 

@@ -347,6 +347,50 @@ SELECT window_start,
 FROM w GROUP BY 1, 2, 3"""
 
 
+def sql_minhash_pairs(threshold: float = 0.5, k: int = 32, bands: int = 8) -> str:
+    """Full MinHash-LSH dedup oracle: portable base hash, k modular affine
+    minhashes, banded candidates (band = raw signature slice), exact
+    Jaccard verify — mirrors dedup.minhash_dedup exactly."""
+    p = 2147483647
+    rpb = k // bands
+    mins = ", ".join(
+        f"min(({(2 * i + 1) % p} * hv + {(i * 0x9E3779B9) % p}) % {p})" for i in range(k)
+    )
+    return f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                END) AS shingle
+  FROM t
+),
+hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS hv FROM sh),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM hv GROUP BY doc_id),
+b AS (
+  SELECT doc_id, k.band, sig[k.band * {rpb} + 1 : k.band * {rpb} + {rpb}] AS bv
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (za.set_size + zb.set_size - n_common) AS jaccard
+FROM common
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (za.set_size + zb.set_size - n_common) >= {threshold}"""
+
+
 def sql_top_terms(k: int = 20) -> str:
     """TF term ranking with stopwords — mirrors graph.summarize.top_terms."""
     from .graph.summarize import STOPWORDS

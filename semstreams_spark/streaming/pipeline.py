@@ -35,10 +35,16 @@ def read_transcript_stream(
     ``maxFilesPerTrigger`` bounds each micro-batch (backpressure, W4 —
     lossless, unlike the reference's drop-oldest buffers).
     """
-    return (
+    raw = (
         spark.readStream.schema(TRANSCRIPT_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+    # message validation (reference Validate(), message/message.go:20-44):
+    # rows missing identity or event time are dropped, not propagated —
+    # also guards against foreign parquet files in the input directory
+    return raw.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull() & F.col("ts").isNotNull()
     )
 
 
