@@ -395,6 +395,25 @@ def q_alert_cooldown(spark, sf_dir):
     return apply_cooldown(alerts, rules)
 
 
+def q_embedding_sim_pairs(spark, sf_dir):
+    """Embedding-cosine similar pairs (exact all-pairs at this scale; the
+    LSH-bucketed variant dedup.embedding_near_dups is the 100TB path —
+    this corpus has no near-dups above LSH-friendly thresholds, max cos
+    ≈0.49, so the gate checks the exact form against DuckDB)."""
+    from semstreams_spark.operators.similarity import cosine_sim_expr
+
+    e = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_sim_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.4).select(
+        "vec_a", "vec_b", F.round("c", 6).alias("cosine")
+    )
+
+
 def q_graphrag_global(spark, sf_dir):
     """G12 global search over the entity co-mention graph: LPA communities
     → statistical summaries → weighted scoring → member rerank."""
@@ -450,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
+        "embedding_sim_pairs": q_embedding_sim_pairs,
     }
 
 
@@ -518,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oracles.sql_doc_quality(),
         "jaccard_pairs": oracles.sql_jaccard_pairs(0.5),
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
+        "embedding_sim_pairs": oracles.sql_embedding_sim_pairs(
+            dim=len(_query_vec(f"/root/testdata/sf{sf:g}")), threshold=0.4
+        ),
         "cosine_topk": oracles.sql_cosine_topk(
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
         ),

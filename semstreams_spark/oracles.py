@@ -282,6 +282,22 @@ SELECT vec_id, round(dot / (na * nb), 6) AS cosine
 FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}"""
 
 
+def sql_embedding_sim_pairs(dim: int, threshold: float = 0.4) -> str:
+    """Exact all-pairs cosine ≥ threshold — mirrors q_embedding_sim_pairs
+    (sequential left-fold sums, 6dp rounding)."""
+    return f"""WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(range(1, {dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (a.nrm * b.nrm) >= {threshold}"""
+
+
 def sql_bm25_topk(query: str, k: int = 10, lang: str | None = None) -> str:
     """Sparse BM25 scoring — mirrors search.bm25.bm25_search (k1=1.5,
     b=0.75, BM25+1 idf). NB DuckDB log() is base-10: use ln()."""

@@ -172,3 +172,50 @@ def test_rule_cooldown(spark):
     r1e1 = sorted(r["ts"] for r in out if r["rule_id"] == "r1" and r["entity_id"] == "e1")
     assert T0 in r1e1 and T0 + dt.timedelta(seconds=90) in r1e1
     assert T0 + dt.timedelta(seconds=30) not in r1e1
+
+
+def test_context_flags(spark):
+    from semstreams_spark.rules.context_flags import context_flags
+
+    edges = spark.createDataFrame(
+        [("a", "b", "t"), ("b", "c", "t"), ("x", "y", "t")],
+        "src string, dst string, edge_type string",
+    )
+    states = _states(
+        spark,
+        [
+            ("b", "m.status", "critical", T0),
+            ("c", "m.cpu", "95", T0),
+            ("y", "m.status", "critical", T0),  # disconnected from 'a'
+        ],
+    )
+    rules = [
+        Rule(id="crit_nearby", conditions=(Condition("m.status", "eq", "critical"),)),
+        Rule(id="hot_cpu", conditions=(Condition("m.cpu", "gt", "90"),)),
+        Rule(id="never", conditions=(Condition("m.cpu", "gt", "99"),)),
+    ]
+    flags = context_flags(edges, states, "a", rules, max_depth=2)
+    assert flags == {"crit_nearby": True, "hot_cpu": True, "never": False}
+    # depth bound: from 'a' with depth 1, only 'b' is reachable
+    flags1 = context_flags(edges, states, "a", rules, max_depth=1)
+    assert flags1 == {"crit_nearby": True, "hot_cpu": False, "never": False}
+
+
+def test_salted_two_phase_agg(spark):
+    """J7: salted partial agg + final agg equals direct per-conv agg."""
+    from semstreams_spark.operators.joins import salt_conv_key
+
+    rows = [("hot", i, "user", f"m{i}", None, T0 + dt.timedelta(seconds=i)) for i in range(100)]
+    rows += [("cold", 0, "user", "x", None, T0)]
+    df = _tr(spark, rows)
+    direct = {r["conv_id"]: r["n"] for r in df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    salted = salt_conv_key(df, n_salts=8)
+    partial = salted.groupBy("conv_salt").agg(F.count("*").alias("n"))
+    final = (
+        partial.withColumn("conv_id", F.split("conv_salt", "#")[0])
+        .groupBy("conv_id")
+        .agg(F.sum("n").alias("n"))
+    )
+    got = {r["conv_id"]: r["n"] for r in final.collect()}
+    assert got == direct
+    assert partial.count() > 2  # hot conv actually split across salts
