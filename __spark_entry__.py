@@ -218,8 +218,8 @@ def q_dedup_exact(spark, sf_dir):
 def q_text_quality(spark, sf_dir):
     """Text-quality scoring: token count, char stats, punctuation ratio."""
     d = _tbl(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " "))
-    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_chars = F.length("text").cast("long")
     non_alnum = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
     return d.select(
         "doc_id",
@@ -262,7 +262,13 @@ def q_doc_quality(spark, sf_dir):
     from semstreams_spark.operators.textops import quality_features
 
     q = quality_features(_tbl(spark, sf_dir, "documents"))
-    return q.select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "uniq_token_ratio")
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "uniq_token_ratio",
+    )
 
 
 def q_jaccard_pairs(spark, sf_dir):

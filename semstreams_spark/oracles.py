@@ -160,8 +160,8 @@ def sql_sessions(sf: float, gap_minutes: int = 30) -> str:
 ),
 s AS (
   SELECT conv_id, ts,
-         SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM o
 )
 SELECT conv_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -339,9 +339,9 @@ d2 AS (
   FROM und u JOIN d1 ON u.src = d1.entity
   WHERE u.dst <> '{start}' AND u.dst NOT IN (SELECT entity FROM d1)
 )
-SELECT '{start}' AS entity, 0 AS depth, 1.0 AS score
-UNION ALL SELECT entity, 1, 1.0 * {decay} FROM d1
-UNION ALL SELECT entity, 2, 1.0 * {decay} * {decay} FROM d2"""
+SELECT '{start}' AS entity, 0 AS depth, 1.0::DOUBLE AS score
+UNION ALL SELECT entity, 1, 1.0::DOUBLE * {decay}::DOUBLE FROM d1
+UNION ALL SELECT entity, 2, 1.0::DOUBLE * {decay}::DOUBLE * {decay}::DOUBLE FROM d2"""
 
 
 def sql_sliding_degree(sf: float, width_s: int = 600, slide_s: int = 300) -> str:

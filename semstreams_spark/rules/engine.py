@@ -93,21 +93,41 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
     stream of rules unions at the end — Spark executes them as one scan of
     the cached/exchanged input in practice).
     """
+    simple = [r for r in rules if r.enabled and len(r.conditions) == 1]
+    complex_ = [r for r in rules if r.enabled and len(r.conditions) > 1]
+
     outs: list[DataFrame] = []
-    for r in rules:
-        if not r.enabled:
-            continue
+    if simple:
+        # ALL single-condition rules in ONE scan: per row, build the array
+        # of fired rule ids and explode — N rules cost one pass over the
+        # state table instead of N (the reference also evaluates all rules
+        # per message in one loop, rule/message_handler.go:47-111)
+        fired = F.array(
+            *[
+                F.when(
+                    (F.col("predicate") == r.conditions[0].field)
+                    & _cond_expr(r.conditions[0], F.col("object")),
+                    F.lit(r.id),
+                )
+                for r in simple
+            ]
+        )
+        outs.append(
+            entity_states.select(
+                F.col("subject").alias("entity_id"),
+                F.col("ts"),
+                F.explode(F.filter(fired, lambda x: x.isNotNull())).alias("rule_id"),
+            ).select("rule_id", "entity_id", "ts")
+        )
+
+    for r in complex_:
         per_cond = []
         for c in r.conditions:
             m = entity_states.filter(
                 (F.col("predicate") == c.field) & _cond_expr(c, F.col("object"))
             ).select(F.col("subject").alias("entity_id"), F.col("ts"))
             per_cond.append(m)
-        if not per_cond:
-            continue
-        if len(per_cond) == 1:
-            matched = per_cond[0]
-        elif r.logic == "and":
+        if r.logic == "and":
             matched = per_cond[0]
             for nxt in per_cond[1:]:
                 matched = (
