@@ -438,6 +438,40 @@ def q_graphrag_global(spark, sf_dir):
     return global_search(members, summaries, texts, "ent_000 ent_001", top_communities=3)
 
 
+def q_incoming_top(spark, sf_dir):
+    """J5 reverse-edge lookup: top-20 mention targets by incoming edge
+    count (deterministic tie-break)."""
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    rel = triples.filter(F.col("predicate") == "conv.turn.mentions")
+    return (
+        rel.groupBy(F.col("object").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count_distinct("context").alias("n_convs"),
+        )
+        .orderBy(F.desc("n_incoming"), F.asc("dst"))
+        .limit(20)
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """GraphQL-gateway aggregation enums (SURVEY §2.11: SUM/AVG/MIN/MAX/
+    COUNT/P50/P95/P99) over the events stream table. Exact percentiles
+    (linear interpolation) — matches DuckDB quantile_cont."""
+    e = _tbl(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v.cast(_D)).cast("double").alias("sum_v"),
+        (F.sum(v.cast(_D)).cast("double") / F.count(F.lit(1))).alias("avg_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "triples_extract": q_triples_extract,
@@ -476,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
         "embedding_sim_pairs": q_embedding_sim_pairs,
+        "incoming_top": q_incoming_top,
+        "metrics_rollup": q_metrics_rollup,
     }
 
 
@@ -560,6 +596,19 @@ def oracle_sql() -> dict[str, str]:
               AND value > 50
         """,
         "top_terms": oracles.sql_top_terms(k=20),
+        "incoming_top": oracles.sql_incoming_top(ORACLE_SF),
+        "metrics_rollup": """
+            SELECT event_type,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_v,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
         "alert_cooldown": """
             WITH alerts AS (
               SELECT 'high_value' AS rule_id, CAST(user_id AS VARCHAR) AS entity_id, ts

@@ -436,3 +436,11 @@ FROM st WHERE predicate = 'conv.turn.text' AND contains(object, 'invoke')
 UNION ALL
 SELECT 'assistant_regex', subject, ts
 FROM st WHERE predicate = 'conv.turn.role' AND regexp_matches(object, '^(assistant|system)$')"""
+
+
+def sql_incoming_top(sf: float, k: int = 20) -> str:
+    """Top mention targets by incoming edge count (J5 reverse lookup)."""
+    return f"""WITH {triples_cte(sf)}
+SELECT object AS dst, COUNT(*) AS n_incoming, COUNT(DISTINCT context) AS n_convs
+FROM triples WHERE predicate = 'conv.turn.mentions'
+GROUP BY object ORDER BY n_incoming DESC, dst ASC LIMIT {k}"""
