@@ -580,12 +580,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oracles.sql_doc_quality(),
         "jaccard_pairs": oracles.sql_jaccard_pairs(0.5),
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
+        "simhash_pairs": oracles.sql_simhash_pairs(14),
         "embedding_sim_pairs": oracles.sql_embedding_sim_pairs(
             dim=len(_query_vec(f"/root/testdata/sf{sf:g}")), threshold=0.4
         ),
         "cosine_topk": oracles.sql_cosine_topk(
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
         ),
+        "ann_topk": oracles.sql_ann_topk(_query_vec(f"/root/testdata/sf{sf:g}"), k=10),
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
         "path_2hop": oracles.sql_path_2hop(sf),

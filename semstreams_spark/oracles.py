@@ -298,6 +298,50 @@ WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.embedding[i]::DOUBLE *
       / (a.nrm * b.nrm) >= {threshold}"""
 
 
+def _fold_sum(items_expr: str) -> str:
+    """Sequential left-fold sum — bit-identical to Spark's F.aggregate
+    (0.0 + x1 + x2 + ...; IEEE 0.0+x == x so the missing init is exact)."""
+    return f"list_reduce({items_expr}, (a, b) -> a + b)"
+
+
+def sql_ann_topk(query_vec: list[float], k: int = 10, n_planes: int = 12) -> str:
+    """Hyperplane-LSH ANN oracle — mirrors similarity.ann_topk_lsh exactly:
+    deterministic sin-hash hyperplanes, sign-bit bucket, Hamming-1 probe
+    set, exact cosine rerank inside probed buckets. All folds sequential
+    so the sign bits are fp-identical across engines."""
+    from .operators.similarity import _hyperplane
+
+    dim = min(64, len(query_vec))
+    qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    bits = []
+    qsig = 0
+    for i in range(n_planes):
+        h = _hyperplane(dim, i)
+        hlit = "[" + ", ".join(repr(v) for v in h) + "]::DOUBLE[]"
+        dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * ({hlit})[j])")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})")
+        if sum(float(query_vec[j]) * h[j] for j in range(dim)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    probe_list = ", ".join(str(p) for p in probes)
+    bucket = " + ".join(bits)
+    qdim = len(query_vec)
+    dot_q = _fold_sum(f"list_transform(range(1, {qdim + 1}), j -> embedding[j]::DOUBLE * qv[j])")
+    na = f"sqrt({_fold_sum(f'list_transform(range(1, {qdim + 1}), j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)')})"
+    nb = f"sqrt({_fold_sum(f'list_transform(range(1, {qdim + 1}), j -> qv[j] * qv[j])')})"
+    return f"""WITH q AS (SELECT {qlit} AS qv),
+sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT vec_id, {dot_q} / ({na} * {nb}) AS cosine
+  FROM sig, q WHERE bucket IN ({probe_list})
+)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
 def sql_bm25_topk(query: str, k: int = 10, lang: str | None = None) -> str:
     """Sparse BM25 scoring — mirrors search.bm25.bm25_search (k1=1.5,
     b=0.75, BM25+1 idf). NB DuckDB log() is base-10: use ln()."""
@@ -405,6 +449,45 @@ FROM common
 JOIN sizes za ON za.doc_id = doc_a
 JOIN sizes zb ON zb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (za.set_size + zb.set_size - n_common) >= {threshold}"""
+
+
+def sql_simhash_pairs(max_hamming: int = 14) -> str:
+    """Exact SimHash near-dup oracle — mirrors dedup.simhash +
+    dedup.simhash_near_dups bit-for-bit: portable md5 hash per token,
+    60 sign-summed bits, pigeonhole chunk bucketing, bit_count verify."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 60 // n_chunks
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS b{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})" for i in range(60))
+    chunk_structs = ", ".join(
+        f"{{'chunk': {i}, 'cv': (simhash >> {i * chunk_bits}) & {(1 << chunk_bits) - 1}}}"
+        for i in range(n_chunks)
+    )
+    return f"""WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tw AS (
+  SELECT doc_id, tok, COUNT(*) AS w,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM t GROUP BY doc_id, tok
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tw GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+chunks AS (
+  SELECT doc_id, simhash, u.c.chunk AS chunk, u.c.cv AS cv
+  FROM fp, unnest([{chunk_structs}]) AS u(c)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM chunks l JOIN chunks r
+    ON l.chunk = r.chunk AND l.cv = r.cv AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"""
 
 
 def sql_top_terms(k: int = 20) -> str:
