@@ -355,12 +355,12 @@ def q_sliding_degree(spark, sf_dir):
 
 
 def q_pagerank_entities(spark, sf_dir):
-    from semstreams_spark.graph import pagerank
+    """G3 PageRank, fixed-point BIGINT form — bit-exact on any engine or
+    cluster size (float form graph.pagerank is the throughput variant)."""
+    from semstreams_spark.graph import pagerank_exact
 
-    pr = pagerank(_entity_edges(spark, sf_dir), max_iter=10, tol=0)
-    return pr.select("entity", F.round("rank", 8).alias("rank")).orderBy(
-        F.desc("rank"), F.asc("entity")
-    ).limit(20)
+    pr = pagerank_exact(_entity_edges(spark, sf_dir), max_iter=10)
+    return pr.orderBy(F.desc("rank"), F.asc("entity")).limit(20)
 
 
 def q_lpa_entities(spark, sf_dir):
@@ -387,8 +387,9 @@ def q_top_terms(spark, sf_dir):
 
 
 def q_alert_cooldown(spark, sf_dir):
-    """R6 cooldown: high-value event alerts per user, muted for 1h after a
-    fire (lag-window semantics, deterministic)."""
+    """R6 cooldown: high-value event alerts per user, muted for 1h after
+    the last FIRED alert (exact greedy semantics, rule_factory.go:24;
+    oracle is an independent recursive-CTE scan)."""
     from semstreams_spark.rules.engine import Condition, Rule, apply_cooldown
 
     e = _tbl(spark, sf_dir, "events")
@@ -420,22 +421,66 @@ def q_embedding_sim_pairs(spark, sf_dir):
     )
 
 
+GRAPHRAG_QUERY = "ent_000 ent_001"
+
+
+def _mention_context_texts(triples):
+    """(entity, text): each entity's LATEST mention-context turn text, LWW
+    on (ts, seq, text) — the real node text the reference scores against
+    (not a name surrogate); one max_by hash-agg, scale-safe."""
+    men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
+        F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"),
+        "subject",
+        "ts",
+        "seq",
+    )
+    txt = triples.filter(F.col("predicate") == "conv.turn.text").select(
+        "subject", F.col("object").alias("text")
+    )
+    return (
+        men.join(txt, "subject")
+        .groupBy("entity")
+        .agg(F.max_by("text", F.struct("ts", "seq", "text")).alias("text"))
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The 100 TB embedding-dedup path itself (bucketed hyperplane LSH +
+    exact verify, dedup.embedding_near_dups), gated over a corpus with
+    deterministic planted near-dups — every 10th vector re-added with the
+    first component bumped 0.05 (cosine ≈ 0.9988 > 0.95). The all-pairs
+    q_embedding_sim_pairs stays as a cross-check of the exact form."""
+    from semstreams_spark.operators.dedup import embedding_near_dups
+
+    e = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    pairs = embedding_near_dups(corpus, threshold=0.95, n_planes=16)
+    return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_graphrag_global(spark, sf_dir):
     """G12 global search over the entity co-mention graph: LPA communities
-    → statistical summaries → weighted scoring → member rerank."""
+    → statistical summaries over real mention-context texts → 2.0/1.5
+    weighted scoring → member rerank."""
     from semstreams_spark.graph import lpa_communities
     from semstreams_spark.graph.graphrag import global_search
     from semstreams_spark.graph.summarize import community_summaries
 
+    triples = extract_triples(_transcripts(spark, sf_dir))
     edges = _entity_edges(spark, sf_dir).filter(
         F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
     )
     members = lpa_communities(edges, max_iter=6).cache()
-    # node "text" = the entity's mention contexts are heavy; use entity
-    # name itself as the text surrogate (deterministic, cheap)
-    texts = members.select(F.col("entity"), F.col("entity").alias("text"))
+    texts = _mention_context_texts(triples)
     summaries = community_summaries(members, texts, k_terms=5)
-    return global_search(members, summaries, texts, "ent_000 ent_001", top_communities=3)
+    return global_search(members, summaries, texts, GRAPHRAG_QUERY, top_communities=3)
 
 
 def q_incoming_top(spark, sf_dir):
@@ -510,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
         "embedding_sim_pairs": q_embedding_sim_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "incoming_top": q_incoming_top,
         "metrics_rollup": q_metrics_rollup,
     }
@@ -584,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_sim_pairs": oracles.sql_embedding_sim_pairs(
             dim=len(_query_vec(f"/root/testdata/sf{sf:g}")), threshold=0.4
         ),
+        "embedding_neardup_lsh": oracles.sql_embedding_neardup_lsh(
+            threshold=0.95, n_planes=16, dim=64
+        ),
         "cosine_topk": oracles.sql_cosine_topk(
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
         ),
@@ -591,6 +640,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
         "path_2hop": oracles.sql_path_2hop(sf),
+        "pagerank_entities": oracles.sql_pagerank_entities(sf, max_iter=10, k=20),
+        "lpa_entities": oracles.sql_lpa_entities(sf, max_iter=8),
+        "graphrag_global": oracles.sql_graphrag_global(
+            sf, GRAPHRAG_QUERY, max_iter=6, top_communities=3, k_terms=5
+        ),
         "sliding_degree": oracles.sql_sliding_degree(sf),
         "json_filter_events": """
             SELECT event_id, event_type, value FROM events
@@ -611,18 +665,32 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
         """,
+        # Greedy-from-last-fire scan, expressed as a per-key recursive
+        # walk over event rank — independent of the Spark implementation
+        # (no lag/window trick shared between the two sides).
         "alert_cooldown": """
-            WITH alerts AS (
+            WITH RECURSIVE alerts AS (
               SELECT 'high_value' AS rule_id, CAST(user_id AS VARCHAR) AS entity_id, ts
               FROM events WHERE value > 180
             ),
-            g AS (
+            ev AS (
               SELECT rule_id, entity_id, ts,
-                     lag(ts) OVER (PARTITION BY rule_id, entity_id ORDER BY ts) AS prev_ts
+                     row_number() OVER (PARTITION BY rule_id, entity_id ORDER BY ts) AS rn
               FROM alerts
+            ),
+            scan AS (
+              SELECT rule_id, entity_id, rn, ts, ts AS last_fire, TRUE AS fired
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.rule_id, e.entity_id, e.rn, e.ts,
+                     CASE WHEN epoch(e.ts) - epoch(s.last_fire) >= 3600
+                          THEN e.ts ELSE s.last_fire END,
+                     epoch(e.ts) - epoch(s.last_fire) >= 3600
+              FROM scan s JOIN ev e
+                ON e.rule_id = s.rule_id AND e.entity_id = s.entity_id
+               AND e.rn = s.rn + 1
             )
-            SELECT rule_id, entity_id, ts FROM g
-            WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 3600
+            SELECT rule_id, entity_id, ts FROM scan WHERE fired
         """,
         # minhash_pairs / simhash_pairs / ann_topk / pagerank_entities /
         # lpa_entities: hash-family and iterative ops — rows-only check

@@ -27,6 +27,71 @@ def degree_centrality(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    max_iter: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-point integer PageRank: (entity, rank) with rank ≈ true_rank ×
+    scale, all arithmetic in BIGINT.
+
+    Why: float PageRank sums are order-dependent (shuffle order varies per
+    run/cluster), so the result is only reproducible to ~1e-15 — good
+    enough for ranking, not for a bit-exact correctness gate. Integer sums
+    are associative-exact, so this variant is bit-identical on any engine,
+    partitioning, or cluster size (truncation error < max_iter ulp of
+    1/scale per node — ranking-order-equivalent to the float form).
+    Mirrors the reference's damped iteration (``pkg/graphclustering/
+    pagerank.go:50-219``) at fixed iteration count.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    links = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
+    dangling_nodes = nodes.join(out_deg, nodes["entity"] == out_deg["src"], "left_anti").cache()
+
+    # (1-d)/n term is a pure constant under integer division
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(max_iter):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["entity"])
+            .select(F.col("dst").alias("entity"), F.expr("rank div deg").alias("c"))
+            .groupBy("entity")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dm = dangling_nodes.join(ranks, "entity").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
+        )
+        ranks = (
+            nodes.join(contribs, "entity", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "entity",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * ((dmass div {n}) + coalesce(inflow, 0L))) div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    links.unpersist()
+    dangling_nodes.unpersist()
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -304,27 +304,36 @@ def _fold_sum(items_expr: str) -> str:
     return f"list_reduce({items_expr}, (a, b) -> a + b)"
 
 
+def _bucket_sql(col: str, n_planes: int, dim: int = 64) -> str:
+    """Hyperplane sign-bit bucket — mirrors similarity.hyperplane_signature
+    with sequential folds so the sign bits are fp-identical across engines."""
+    from .operators.similarity import _hyperplane
+
+    bits = []
+    for i in range(n_planes):
+        h = _hyperplane(dim, i)
+        hlit = "[" + ", ".join(repr(v) for v in h) + "]::DOUBLE[]"
+        dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> {col}[j]::DOUBLE * ({hlit})[j])")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})")
+    return " + ".join(bits)
+
+
 def sql_ann_topk(query_vec: list[float], k: int = 10, n_planes: int = 12) -> str:
     """Hyperplane-LSH ANN oracle — mirrors similarity.ann_topk_lsh exactly:
     deterministic sin-hash hyperplanes, sign-bit bucket, Hamming-1 probe
-    set, exact cosine rerank inside probed buckets. All folds sequential
-    so the sign bits are fp-identical across engines."""
+    set, exact cosine rerank inside probed buckets."""
     from .operators.similarity import _hyperplane
 
     dim = min(64, len(query_vec))
     qlit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
-    bits = []
     qsig = 0
     for i in range(n_planes):
         h = _hyperplane(dim, i)
-        hlit = "[" + ", ".join(repr(v) for v in h) + "]::DOUBLE[]"
-        dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * ({hlit})[j])")
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})")
         if sum(float(query_vec[j]) * h[j] for j in range(dim)) >= 0:
             qsig |= 1 << i
     probes = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
     probe_list = ", ".join(str(p) for p in probes)
-    bucket = " + ".join(bits)
+    bucket = _bucket_sql("embedding", n_planes, dim)
     qdim = len(query_vec)
     dot_q = _fold_sum(f"list_transform(range(1, {qdim + 1}), j -> embedding[j]::DOUBLE * qv[j])")
     na = f"sqrt({_fold_sum(f'list_transform(range(1, {qdim + 1}), j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)')})"
@@ -340,6 +349,38 @@ cand AS (
 )
 SELECT vec_id, round(cosine, 6) AS cosine
 FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
+def sql_embedding_neardup_lsh(
+    threshold: float = 0.95, n_planes: int = 16, dim: int = 64, plant_delta: float = 0.05
+) -> str:
+    """Bucketed hyperplane-LSH embedding near-dup oracle — mirrors
+    dedup.embedding_near_dups over a corpus with deterministic planted
+    near-dups (every 10th vector re-added with vec_id+1000000 and the
+    first component bumped by plant_delta): bucket equi-join + exact
+    cosine verify, never all-pairs."""
+    bucket = _bucket_sql("embedding", n_planes, dim)
+    dot = _fold_sum(
+        f"list_transform(range(1, {dim + 1}), j -> l.embedding[j]::DOUBLE * r.embedding[j]::DOUBLE)"
+    )
+    nl = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> l.embedding[j]::DOUBLE * l.embedding[j]::DOUBLE)')})"
+    nr = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> r.embedding[j]::DOUBLE * r.embedding[j]::DOUBLE)')})"
+    return f"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(CAST(embedding[1]::DOUBLE + {plant_delta} AS FLOAT),
+                      embedding[2:{dim}]) AS embedding
+  FROM base WHERE vec_id % 10 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+sig AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus),
+pairs AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         {dot} / ({nl} * {nr}) AS cosine
+  FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {threshold}"""
 
 
 def sql_bm25_topk(query: str, k: int = 10, lang: str | None = None) -> str:
@@ -386,6 +427,176 @@ d2 AS (
 SELECT '{start}' AS entity, 0 AS depth, 1.0::DOUBLE AS score
 UNION ALL SELECT entity, 1, 1.0::DOUBLE * {decay}::DOUBLE FROM d1
 UNION ALL SELECT entity, 2, 1.0::DOUBLE * {decay}::DOUBLE * {decay}::DOUBLE FROM d2"""
+
+
+_ENTITY_GRAPH_CTE = """
+m AS (
+  SELECT DISTINCT context AS conv_id, str_split(object, '.')[-1] AS e
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+edges AS (
+  SELECT DISTINCT a.e AS src, b.e AS dst
+  FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.e < b.e
+)"""
+
+
+def sql_pagerank_entities(
+    sf: float,
+    max_iter: int = 10,
+    k: int = 20,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """Fixed-point PageRank oracle — mirrors graph.pagerank_exact: all
+    arithmetic in BIGINT (order-free sums), max_iter unrolled as chained
+    CTEs. Integer div: DuckDB `//` == Spark `div` for positive operands."""
+    rem = damping_den - damping_num
+    iters = []
+    for i in range(max_iter):
+        iters.append(f"""
+dm{i} AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+  FROM r{i} r JOIN dangling d USING (entity)
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.entity,
+         ({rem}::BIGINT * {scale}) // ({damping_den} * nn.n)
+         + ({damping_num} * ((dm{i}.dmass // nn.n) + COALESCE(inf.inflow, 0))) // {damping_den} AS rank
+  FROM nodes n
+  CROSS JOIN nn CROSS JOIN dm{i}
+  LEFT JOIN (
+    SELECT e.dst AS entity, CAST(SUM(r.rank // dg.deg) AS BIGINT) AS inflow
+    FROM edges e JOIN r{i} r ON e.src = r.entity JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) inf USING (entity)
+)""")
+    chain = ",".join(iters)
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+nodes AS (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+dangling AS (SELECT entity FROM nodes WHERE entity NOT IN (SELECT src FROM edges)),
+r0 AS (SELECT entity, {scale}::BIGINT // nn.n AS rank FROM nodes, nn),{chain}
+SELECT entity, rank FROM r{max_iter}
+ORDER BY rank DESC, entity ASC LIMIT {k}"""
+
+
+def _lpa_chain(max_iter: int, und: str = "und", prefix: str = "l") -> str:
+    """CTE chain ``{prefix}0 .. {prefix}{max_iter}`` of synchronous
+    min-label-tie-break LPA over an undirected edge CTE ``{und}`` —
+    mirrors graph.lpa_communities (its early convergence break stops at a
+    fixed point, so the full unroll yields identical labels)."""
+    parts = [f"{prefix}0 AS (SELECT DISTINCT src AS entity, src AS label FROM {und})"]
+    for i in range(max_iter):
+        parts.append(f"""{prefix}{i + 1} AS (
+  SELECT src AS entity, label FROM (
+    SELECT u.src, l.label,
+           row_number() OVER (PARTITION BY u.src
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM {und} u JOIN {prefix}{i} l ON u.dst = l.entity
+    GROUP BY u.src, l.label
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+def sql_lpa_entities(sf: float, max_iter: int = 8) -> str:
+    """Deterministic LPA oracle — see _lpa_chain."""
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+{_lpa_chain(max_iter)}
+SELECT entity, label AS community FROM l{max_iter}"""
+
+
+def _match_count_sql(col: str, terms: list[str]) -> str:
+    """Number of query terms contained in lower(col) — mirrors
+    graphrag._match_count (NULL text scores 0)."""
+    return " + ".join(
+        f"(CASE WHEN contains(lower({col}), '{t}') THEN 1 ELSE 0 END)" for t in terms
+    )
+
+
+def sql_graphrag_global(
+    sf: float,
+    query: str,
+    max_iter: int = 6,
+    top_communities: int = 3,
+    k_terms: int = 5,
+) -> str:
+    """Full GraphRAG global-search oracle — mirrors the gate pipeline
+    end-to-end: LPA communities (unrolled), latest-mention-context node
+    texts (LWW on (ts, seq, text)), TF-keyword community summaries,
+    2.0/1.5-weighted community scoring, member rerank."""
+    from .graph.summarize import STOPWORDS
+
+    terms = sorted({t for t in query.lower().split() if t})
+    sw = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+edges_f AS (SELECT * FROM edges WHERE starts_with(src, 'ent_') AND starts_with(dst, 'ent_')),
+und AS (SELECT src, dst FROM edges_f UNION SELECT dst, src FROM edges_f),
+{_lpa_chain(max_iter)},
+members AS (SELECT entity, label AS community FROM l{max_iter}),
+men AS (
+  SELECT str_split(object, '.')[-1] AS entity, subject, ts, seq
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+txt AS (SELECT subject, object AS text FROM triples WHERE predicate = 'conv.turn.text'),
+node_texts AS (
+  SELECT entity, text FROM (
+    SELECT men.entity, txt.text,
+           row_number() OVER (PARTITION BY men.entity
+                              ORDER BY men.ts DESC, men.seq DESC, txt.text DESC) AS rn
+    FROM men JOIN txt USING (subject)
+  ) WHERE rn = 1
+),
+jt AS (
+  SELECT mem.community, nt.text
+  FROM members mem LEFT JOIN node_texts nt USING (entity)
+  WHERE nt.text IS NOT NULL
+),
+tt AS (
+  SELECT community, term, COUNT(*) AS tf
+  FROM (SELECT community, unnest({_TOKS}) AS term FROM jt)
+  WHERE term NOT IN {sw}
+  GROUP BY community, term
+),
+topt AS (
+  SELECT community, term,
+         row_number() OVER (PARTITION BY community ORDER BY tf DESC, term ASC) AS rank
+  FROM tt
+),
+kw AS (
+  SELECT community, string_agg(term, ', ' ORDER BY rank) AS keywords
+  FROM topt WHERE rank <= {k_terms} GROUP BY community
+),
+sizes AS (SELECT community, COUNT(*) AS n_members FROM members GROUP BY community),
+summ AS (
+  SELECT s.community, s.n_members,
+         COALESCE(kw.keywords, '') AS keywords,
+         printf('Community %s: %d members; key terms: %s',
+                s.community, s.n_members, COALESCE(kw.keywords, 'none')) AS summary
+  FROM sizes s LEFT JOIN kw USING (community)
+),
+cs AS (
+  SELECT community,
+         2.0 * ({_match_count_sql('summary', terms)})
+         + 1.5 * ({_match_count_sql('keywords', terms)}) AS community_score
+  FROM summ
+),
+top_c AS (
+  SELECT community, community_score FROM cs
+  WHERE community_score > 0
+  ORDER BY community_score DESC, community ASC LIMIT {top_communities}
+),
+cohort AS (
+  SELECT mem.entity, mem.community, t.community_score
+  FROM members mem JOIN top_c t USING (community)
+)
+SELECT c.entity, c.community, c.community_score,
+       {_match_count_sql('nt.text', terms)} AS entity_score
+FROM cohort c LEFT JOIN node_texts nt USING (entity)
+ORDER BY entity_score DESC, community_score DESC, entity ASC LIMIT 10000"""
 
 
 def sql_sliding_degree(sf: float, width_s: int = 600, slide_s: int = 300) -> str:

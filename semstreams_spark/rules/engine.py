@@ -153,15 +153,52 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
 
 
 def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
-    """R6 cooldown: suppress re-fires of (rule_id, entity_id) within the
-    rule's cooldown interval (``rule_factory.go:24``).
+    """R6 cooldown, exact greedy-from-last-fire (``rule_factory.go:24``):
+    the first event per (rule_id, entity_id) fires; a later event fires
+    iff it is ≥ cooldown after the last FIRED event. Events inside the
+    mute window are dropped and do NOT push the mute forward — events at
+    t=0/1800/3600 with cooldown 3600 fire {0, 3600}.
 
-    Batch form: keep an event iff no prior event for the same key lies
-    within cooldown — the greedy arrival-order semantics of the reference
-    reduced to event time: fire, then mute until cooldown elapses.
-    Implemented as a per-key ordered scan with a session-style cumulative
-    "last fire" (window function, no Python). Streaming form: keyed state
-    with last-fired timestamp (same shape as the conv merge operator).
+    A greedy scan is inherently sequential per key, so this is an
+    Arrow-batched ``applyInPandas`` over (rule_id, entity_id) groups —
+    groups are tiny (alerts per entity), the shuffle is one hash exchange
+    on the key, and the scan is O(group). The window-function variant
+    ``apply_cooldown_lag`` below stays pure-Catalyst but implements the
+    weaker previous-EVENT semantics.
+    """
+    import numpy as np
+
+    cd = {r.id: r.cooldown_seconds for r in rules}
+    if not any(cd.values()):
+        return events
+    cols = events.columns
+
+    def scan(pdf):
+        sec = cd.get(pdf["rule_id"].iloc[0], 0)
+        if sec == 0:
+            return pdf
+        pdf = pdf.sort_values(cols, kind="mergesort", ignore_index=True)
+        ts = pdf["ts"].to_numpy()
+        keep = np.zeros(len(pdf), dtype=bool)
+        mute = np.timedelta64(int(sec * 1_000_000), "us")
+        last = None
+        for i in range(len(ts)):
+            if last is None or ts[i] - last >= mute:
+                keep[i] = True
+                last = ts[i]
+        return pdf[keep]
+
+    return events.groupBy("rule_id", "entity_id").applyInPandas(scan, events.schema)
+
+
+def apply_cooldown_lag(events: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Lag-based cooldown approximation: keeps an event iff it is ≥
+    cooldown after the PREVIOUS EVENT (fired or not) — a muted event
+    pushes the mute window forward, unlike the reference's greedy
+    semantics (events at t=0/1800/3600, cooldown 3600 → fires {0} here
+    vs {0, 3600} greedy). Kept because it is pure-Catalyst (one window
+    function, no Python) and equivalent whenever per-key events are
+    sparser than the cooldown; use ``apply_cooldown`` for parity.
     """
     from pyspark.sql import Window
 

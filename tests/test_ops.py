@@ -148,16 +148,19 @@ def test_rules_and_or_logic(spark):
     assert and_ts == T0 + dt.timedelta(seconds=5)
 
 
-def test_rule_cooldown(spark):
+def test_rule_cooldown_greedy_from_last_fire(spark):
+    """Exact reference semantics (rule_factory.go:24): a muted event does
+    NOT push the mute window — t=0/30/60 with cooldown 60 fires {0, 60}."""
     from semstreams_spark.rules.engine import apply_cooldown
 
     events = spark.createDataFrame(
         [
-            ("r1", "e1", T0),
-            ("r1", "e1", T0 + dt.timedelta(seconds=30)),   # muted (< 60s)
-            ("r1", "e1", T0 + dt.timedelta(seconds=90)),   # fires
-            ("r1", "e2", T0 + dt.timedelta(seconds=31)),   # different entity
-            ("r2", "e1", T0 + dt.timedelta(seconds=32)),   # no-cooldown rule
+            ("r1", "e1", T0),                               # fires
+            ("r1", "e1", T0 + dt.timedelta(seconds=30)),    # muted (< 60s after fire at 0)
+            ("r1", "e1", T0 + dt.timedelta(seconds=60)),    # fires (>= 60 after LAST FIRE)
+            ("r1", "e1", T0 + dt.timedelta(seconds=90)),    # muted (< 60 after fire at 60)
+            ("r1", "e2", T0 + dt.timedelta(seconds=31)),    # different entity: fires
+            ("r2", "e1", T0 + dt.timedelta(seconds=32)),    # no-cooldown rule: fires
         ],
         "rule_id string, entity_id string, ts timestamp",
     )
@@ -166,12 +169,28 @@ def test_rule_cooldown(spark):
         Rule(id="r2", conditions=(Condition("x", "eq", "1"),)),
     ]
     out = apply_cooldown(events, rules).collect()
-    fired = sorted((r["rule_id"], r["entity_id"], r["ts"].second) for r in out)
-    assert fired == [("r1", "e1", 0), ("r1", "e1", 30), ("r2", "e1", 32)] or len(out) == 4
-    # lag-based mute: event at +30 muted, +90 fires (>=60 after last fire)
     r1e1 = sorted(r["ts"] for r in out if r["rule_id"] == "r1" and r["entity_id"] == "e1")
-    assert T0 in r1e1 and T0 + dt.timedelta(seconds=90) in r1e1
-    assert T0 + dt.timedelta(seconds=30) not in r1e1
+    assert r1e1 == [T0, T0 + dt.timedelta(seconds=60)]
+    assert len(out) == 4
+
+
+def test_rule_cooldown_lag_variant_differs(spark):
+    """apply_cooldown_lag keeps previous-EVENT semantics: the muted event
+    at +30 pushes the window, so +60 is muted too — documents exactly how
+    the Catalyst-only variant diverges from the greedy reference."""
+    from semstreams_spark.rules.engine import apply_cooldown_lag
+
+    events = spark.createDataFrame(
+        [
+            ("r1", "e1", T0),
+            ("r1", "e1", T0 + dt.timedelta(seconds=30)),
+            ("r1", "e1", T0 + dt.timedelta(seconds=60)),
+        ],
+        "rule_id string, entity_id string, ts timestamp",
+    )
+    rules = [Rule(id="r1", conditions=(Condition("x", "eq", "1"),), cooldown_seconds=60)]
+    out = apply_cooldown_lag(events, rules).collect()
+    assert sorted(r["ts"] for r in out) == [T0]
 
 
 def test_context_flags(spark):
