@@ -344,6 +344,16 @@ def q_path_2hop(spark, sf_dir):
     return bounded_traversal(edges, "ent_000", max_depth=2, decay=0.85)
 
 
+def q_paths_2hop(spark, sf_dir):
+    """G1 path enumeration (PathResult parity): explicit node sequences
+    with decayed scores under a MaxPaths budget + truncated flag."""
+    from semstreams_spark.graph import traversal_paths
+
+    edges = _entity_edges(spark, sf_dir).withColumn("edge_type", F.lit("comention"))
+    p = traversal_paths(edges, "ent_000", max_depth=2, decay=0.85, max_paths=500)
+    return p.select(F.array_join("path", "->").alias("path"), "depth", "score", "truncated")
+
+
 def q_sliding_degree(spark, sf_dir):
     from semstreams_spark.operators.windows import node_degree_sliding
 
@@ -367,6 +377,44 @@ def q_lpa_entities(spark, sf_dir):
     from semstreams_spark.graph import lpa_communities
 
     return lpa_communities(_entity_edges(spark, sf_dir), max_iter=8)
+
+
+def _parity_edges(spark, sf_dir):
+    """Structured co-mention graph for the hierarchy gate: the raw Zipf
+    co-mention graph has no community structure (LPA collapses it to one
+    label), so split entities into two dense cohorts by numeric-suffix
+    parity (co-occurrence weight >= 3 intra-cohort) bridged only by the
+    strongest cross-cohort ties (weight >= 300) — level 0 finds the two
+    cohorts, level 1 merges them through the bridges."""
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    m = (
+        triples.filter(F.col("predicate") == "conv.turn.mentions")
+        .select(
+            F.col("context").alias("conv_id"),
+            F.element_at(F.split(F.col("object"), r"\."), -1).alias("e"),
+        )
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.e") < F.col("b.e")))
+        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    par = lambda c: F.element_at(F.split(F.col(c), "_"), -1).try_cast("int") % 2  # noqa: E731
+    same = par("src") == par("dst")
+    return pairs.filter((same & (F.col("w") >= 3)) | (~same & (F.col("w") >= 300))).select(
+        "src", "dst"
+    )
+
+
+def q_lpa_hierarchy(spark, sf_dir):
+    """G2 hierarchical LPA (reference default 3 levels, lpa.go:20-23;
+    gated at 2 to keep the unrolled oracle tractable):
+    (entity, level, community) over the structured parity graph."""
+    from semstreams_spark.graph import lpa_hierarchy
+
+    return lpa_hierarchy(_parity_edges(spark, sf_dir), levels=2, max_iter=8)
 
 
 def q_json_filter_events(spark, sf_dir):
@@ -483,6 +531,52 @@ def q_graphrag_global(spark, sf_dir):
     return global_search(members, summaries, texts, GRAPHRAG_QUERY, top_communities=3)
 
 
+DELETE_TS_LATE = "2025-03-01 00:00:00"   # after every event at any sf → stays deleted
+DELETE_TS_EARLY = "2024-12-01 00:00:00"  # before every event → recreated (active)
+
+
+def q_entity_delete(spark, sf_dir):
+    """Entity delete / tombstone surface (mutations.go:169,354): mention-
+    target entities with suffix %7==0 tombstoned AFTER all data (status
+    deleted, edges cleaned), %7==3 tombstoned BEFORE all data (recreated →
+    active, edges survive); version bumps per tombstone."""
+    from semstreams_spark.operators.mutations import edges_after_deletes, nodes_with_status
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
+        F.col("object").alias("id"), "ts", "seq"
+    )
+    nodes = (
+        men.groupBy("id")
+        .agg(F.count_distinct("ts", "seq").alias("version"), F.max("ts").alias("updated_at"))
+        .withColumn("type", F.split(F.col("id"), r"\.")[4])
+    )
+    ents = men.select(F.col("id").alias("entity_id")).distinct()
+    num = F.element_at(F.split(F.col("entity_id"), "_"), -1).try_cast("int")
+    deletes = ents.filter(num % 7 == 0).select(
+        "entity_id", F.lit(DELETE_TS_LATE).cast("timestamp_ntz").alias("ts")
+    ).unionByName(
+        ents.filter(num % 7 == 3).select(
+            "entity_id", F.lit(DELETE_TS_EARLY).cast("timestamp_ntz").alias("ts")
+        )
+    )
+    nws = nodes_with_status(nodes, deletes)
+    live = (
+        edges_after_deletes(edges_table(triples), deletes)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+    return nws.join(live, "id", "left").select(
+        "id",
+        "type",
+        "status",
+        "version",
+        "updated_at",
+        "deleted_at",
+        F.coalesce(F.col("n_live"), F.lit(0)).cast("long").alias("n_live_edges"),
+    )
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -547,15 +641,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
         "path_2hop": q_path_2hop,
+        "paths_2hop": q_paths_2hop,
         "sliding_degree": q_sliding_degree,
         "pagerank_entities": q_pagerank_entities,
         "lpa_entities": q_lpa_entities,
+        "lpa_hierarchy": q_lpa_hierarchy,
         "json_filter_events": q_json_filter_events,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "entity_delete": q_entity_delete,
         "incoming_top": q_incoming_top,
         "metrics_rollup": q_metrics_rollup,
     }
@@ -640,8 +737,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
         "path_2hop": oracles.sql_path_2hop(sf),
+        "paths_2hop": oracles.sql_paths_2hop(sf, max_paths=500),
         "pagerank_entities": oracles.sql_pagerank_entities(sf, max_iter=10, k=20),
         "lpa_entities": oracles.sql_lpa_entities(sf, max_iter=8),
+        "lpa_hierarchy": oracles.sql_lpa_hierarchy(sf, levels=2, max_iter=8),
         "graphrag_global": oracles.sql_graphrag_global(
             sf, GRAPHRAG_QUERY, max_iter=6, top_communities=3, k_terms=5
         ),
@@ -652,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
               AND value > 50
         """,
         "top_terms": oracles.sql_top_terms(k=20),
+        "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "incoming_top": oracles.sql_incoming_top(ORACLE_SF),
         "metrics_rollup": """
             SELECT event_type,

@@ -8,6 +8,11 @@ min-label tie-break — bit-reproducible on any cluster size.
 
 Each iteration: one join (labels→edges) + one two-level agg (count votes,
 argmax with min-label tie-break). localCheckpoint cuts lineage.
+
+Synchronous LPA with pure neighbor votes oscillates on bipartite
+structures (a 2-node component flips labels forever); each node therefore
+also votes its OWN current label once — the classic convergence fix,
+deterministic, and equivalent on non-oscillating graphs.
 """
 
 from __future__ import annotations
@@ -19,9 +24,12 @@ from pyspark.sql import functions as F
 def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """(entity, community) — community = min entity id of the cluster's
     converged label. Undirected propagation."""
+    bidir = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # self-loop per node = one self-vote (see module docstring)
     und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        bidir.unionByName(bidir.select("src", F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
@@ -54,3 +62,47 @@ def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             break
     und.unpersist()
     return labels.select("entity", F.col("label").alias("community"))
+
+
+def lpa_hierarchy(edges: DataFrame, levels: int = 3, max_iter: int = 8) -> DataFrame:
+    """Hierarchical LPA (reference default 3 levels, max 10:
+    ``pkg/graphclustering/lpa.go:20-23,39,73-79``): level 0 = LPA over the
+    raw graph; level k+1 = LPA over the COMMUNITY graph of level k (one
+    super-node per community, an edge wherever any cross-community edge
+    exists). Communities with no cross-community edges keep their own id.
+
+    Returns (entity, level, community) long-form — GraphRAG local/global
+    search binds its `level` parameter by filtering this table
+    (``querymanager/graphrag_search.go:43-106``).
+
+    Scale shape: the community graph shrinks geometrically per level, so
+    upper levels cost a fraction of level 0; each level is the same
+    join+agg LPA loop.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    members = lpa_communities(edges, max_iter)  # (entity, community)
+    out = members.withColumn("level", F.lit(0))
+    e = edges.select("src", "dst")
+    for lvl in range(1, levels):
+        ms = members.select(F.col("entity").alias("src"), F.col("community").alias("c_src"))
+        md = members.select(F.col("entity").alias("dst"), F.col("community").alias("c_dst"))
+        ce = (
+            e.join(ms, "src")
+            .join(md, "dst")
+            .filter(F.col("c_src") != F.col("c_dst"))
+            .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+            .distinct()
+        )
+        if ce.isEmpty():
+            break
+        sup = lpa_communities(ce, max_iter).toDF("community", "up")
+        members = (
+            members.join(sup, "community", "left")
+            .select(
+                "entity",
+                F.coalesce(F.col("up"), F.col("community")).alias("community"),
+            )
+        )
+        out = out.unionByName(members.withColumn("level", F.lit(lvl)))
+    return out.select("entity", "level", "community")

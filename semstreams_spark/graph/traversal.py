@@ -14,6 +14,8 @@ broadcast-joins the frontier (tiny) against edges — exactly what a
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,3 +74,94 @@ def bounded_traversal(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def _undirected(edges: DataFrame, edge_filter: list[str] | None, bidirectional: bool) -> DataFrame:
+    e = edges.select("src", "dst", "edge_type")
+    if edge_filter:
+        e = e.filter(F.col("edge_type").isin(edge_filter))
+    if bidirectional:
+        e = e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        e = e.select("src", "dst")
+    return e.distinct()
+
+
+def traversal_paths(
+    edges: DataFrame,
+    start: str,
+    max_depth: int = 3,
+    decay: float = 0.85,
+    edge_filter: list[str] | None = None,
+    max_paths: int | None = None,
+    max_time_s: float | None = None,
+    bidirectional: bool = True,
+    per_hop_cap: int | None = None,
+) -> DataFrame:
+    """PathRAG path enumeration (``graph/query/client.go:456-726``,
+    PathResult at ``:520``): all simple paths from `start` up to
+    max_depth, each as an explicit node sequence with a decayed score,
+    under MaxPaths / MaxTime budgets with a `truncated` flag.
+
+    Returns (path array<string>, depth int, score double,
+    truncated boolean) — truncated is true on every row when either
+    budget cut enumeration short (reference sets PathResult.Truncated).
+
+    Budgets:
+    - max_paths: after enumeration, keep the top max_paths by
+      (score desc, path asc) — deterministic, mirrors the reference's
+      MaxPaths cap applied to collected paths.
+    - max_time_s: wall-clock budget checked between hops (the reference
+      checks MaxTime inside its DFS loop); expansion stops early.
+    - per_hop_cap: optional scale guard — keeps only the top cap paths
+      per hop (score desc, path asc) before expanding further; bounds
+      frontier memory on high-degree graphs at the cost of completeness
+      (sets truncated when it trims).
+
+    Each hop is one join frontier⋈edges with an array_contains cycle
+    filter — level-synchronous BFS, no driver-side row loops.
+    """
+    spark: SparkSession = edges.sparkSession
+    e = _undirected(edges, edge_filter, bidirectional)
+
+    t0 = time.monotonic()
+    frontier = spark.createDataFrame([([start], 0, 1.0)], "path array<string>, depth int, score double")
+    levels = [frontier]
+    truncated = False
+    for d in range(1, max_depth + 1):
+        if max_time_s is not None and time.monotonic() - t0 >= max_time_s:
+            truncated = True
+            break
+        if per_hop_cap is not None:
+            capped = frontier.orderBy(F.desc("score"), F.asc("path")).limit(per_hop_cap)
+            capped = capped.localCheckpoint(eager=True)
+            if capped.count() < frontier.count():
+                truncated = True
+            frontier = capped
+        last = F.element_at(F.col("path"), -1)
+        nxt = (
+            frontier.join(e, last == e["src"])
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                F.lit(d).alias("depth"),
+                (F.col("score") * F.lit(decay)).alias("score"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    if max_paths is not None:
+        total = out.count()
+        if total > max_paths:
+            truncated = True
+            out = out.orderBy(F.desc("score"), F.asc("path")).limit(max_paths)
+    return out.withColumn("truncated", F.lit(truncated))

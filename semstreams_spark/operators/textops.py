@@ -109,6 +109,40 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 GEO_MULTIPLIERS = {4: 10, 5: 50, 6: 100, 7: 300, 8: 1000}
 
 
+def synthetic_coords(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic hash-derived (lat, lon) per id — the engine's node
+    model carries no coordinates (the transcript input has none), so the
+    spatial surface is exercised on reproducible synthetic coordinates:
+    lat = (H(id||':lat') mod 1800000)/10000 - 90 ∈ [-90, 90), lon
+    similarly over [-180, 180). Integer-derived doubles — exact and
+    identical in any engine (DuckDB mirror in oracles.sql_spatial_bbox)."""
+    lat = (portable_hash(F.concat(F.col(id_col), F.lit(":lat"))) % 1_800_000) / F.lit(10000.0) - F.lit(90.0)
+    lon = (portable_hash(F.concat(F.col(id_col), F.lit(":lon"))) % 3_600_000) / F.lit(10000.0) - F.lit(180.0)
+    return df.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def geo_bins_for_bbox(
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float, precision: int = 4
+) -> list[str]:
+    """All geo_bin partition keys covering a bbox — the pruning companion
+    to geo_bin: ``df.filter(col('geo4').isin(geo_bins_for_bbox(...)))``
+    turns a spatial query into partition pruning on a geo-partitioned
+    table (reference spatial index scan, indexmanager/manager.go:1223-1281).
+    Use coarse precisions for large boxes (bin count grows with m²)."""
+    import math as _math
+
+    m = GEO_MULTIPLIERS[precision]
+    la0 = _math.floor((min_lat + 90.0) * m)
+    la1 = _math.floor((max_lat + 90.0) * m)
+    lo0 = _math.floor((min_lon + 180.0) * m)
+    lo1 = _math.floor((max_lon + 180.0) * m)
+    return [
+        f"geo_{precision}_{la}_{lo}"
+        for la in range(la0, la1 + 1)
+        for lo in range(lo0, lo1 + 1)
+    ]
+
+
 def geo_bin(lat: Column, lon: Column, precision: int = 7) -> Column:
     """Bin-based geohash key (reference `indexmanager/indexes.go:1015-1044`):
     'geo_{p}_{latInt}_{lonInt}' with the precision→multiplier table

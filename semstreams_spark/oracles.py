@@ -485,16 +485,20 @@ ORDER BY rank DESC, entity ASC LIMIT {k}"""
 def _lpa_chain(max_iter: int, und: str = "und", prefix: str = "l") -> str:
     """CTE chain ``{prefix}0 .. {prefix}{max_iter}`` of synchronous
     min-label-tie-break LPA over an undirected edge CTE ``{und}`` —
-    mirrors graph.lpa_communities (its early convergence break stops at a
-    fixed point, so the full unroll yields identical labels)."""
-    parts = [f"{prefix}0 AS (SELECT DISTINCT src AS entity, src AS label FROM {und})"]
+    mirrors graph.lpa_communities incl. the per-node self-vote (its early
+    convergence break stops at a fixed point, so the full unroll yields
+    identical labels)."""
+    parts = [
+        f"{prefix}u AS MATERIALIZED (SELECT src, dst FROM {und} UNION SELECT src, src FROM {und})",
+        f"{prefix}0 AS MATERIALIZED (SELECT DISTINCT src AS entity, src AS label FROM {prefix}u)",
+    ]
     for i in range(max_iter):
-        parts.append(f"""{prefix}{i + 1} AS (
+        parts.append(f"""{prefix}{i + 1} AS MATERIALIZED (
   SELECT src AS entity, label FROM (
     SELECT u.src, l.label,
            row_number() OVER (PARTITION BY u.src
                               ORDER BY COUNT(*) DESC, l.label ASC) AS rn
-    FROM {und} u JOIN {prefix}{i} l ON u.dst = l.entity
+    FROM {prefix}u u JOIN {prefix}{i} l ON u.dst = l.entity
     GROUP BY u.src, l.label
   ) WHERE rn = 1
 )""")
@@ -507,6 +511,63 @@ def sql_lpa_entities(sf: float, max_iter: int = 8) -> str:
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 {_lpa_chain(max_iter)}
 SELECT entity, label AS community FROM l{max_iter}"""
+
+
+_PARITY_GRAPH_CTE = """
+m AS (
+  SELECT DISTINCT context AS conv_id, str_split(object, '.')[-1] AS e
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+wpairs AS (
+  SELECT a.e AS src, b.e AS dst, COUNT(*) AS w
+  FROM m a JOIN m b ON a.conv_id = b.conv_id AND a.e < b.e
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM wpairs
+  WHERE (TRY_CAST(str_split(src, '_')[-1] AS INT) % 2
+           = TRY_CAST(str_split(dst, '_')[-1] AS INT) % 2 AND w >= 3)
+     OR (TRY_CAST(str_split(src, '_')[-1] AS INT) % 2
+           <> TRY_CAST(str_split(dst, '_')[-1] AS INT) % 2 AND w >= 300)
+)"""
+
+
+def sql_lpa_hierarchy(sf: float, levels: int = 2, max_iter: int = 8) -> str:
+    """Hierarchical LPA oracle — mirrors graph.lpa_hierarchy over the
+    structured parity co-mention graph (dense intra-cohort ties, sparse
+    strong cross-cohort ties): level 0 = LPA over the raw graph, level
+    k+1 = LPA over the community graph (distinct cross-community edges),
+    isolated communities keep their id. Each level-v output branch
+    requires every ce1..cev non-empty, mirroring the Spark side's
+    empty-community-graph break."""
+    parts = [
+        "und0 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        _lpa_chain(max_iter, "und0", "lv0_"),
+        f"mem0 AS MATERIALIZED (SELECT entity, label AS community FROM lv0_{max_iter})",
+    ]
+    for v in range(1, levels):
+        parts.append(f"""ce{v} AS MATERIALIZED (
+  SELECT DISTINCT ma.community AS src, mb.community AS dst
+  FROM edges e
+  JOIN mem{v - 1} ma ON e.src = ma.entity
+  JOIN mem{v - 1} mb ON e.dst = mb.entity
+  WHERE ma.community <> mb.community
+)""")
+        parts.append(f"und{v} AS (SELECT src, dst FROM ce{v} UNION SELECT dst, src FROM ce{v})")
+        parts.append(_lpa_chain(max_iter, f"und{v}", f"lv{v}_"))
+        parts.append(f"""mem{v} AS MATERIALIZED (
+  SELECT m.entity, COALESCE(s.label, m.community) AS community
+  FROM mem{v - 1} m
+  LEFT JOIN lv{v}_{max_iter} s ON m.community = s.entity
+)""")
+    branches = ["SELECT entity, 0 AS level, community FROM mem0"]
+    for v in range(1, levels):
+        guards = " AND ".join(f"EXISTS (SELECT 1 FROM ce{u})" for u in range(1, v + 1))
+        branches.append(f"SELECT entity, {v} AS level, community FROM mem{v} WHERE {guards}")
+    union = "\nUNION ALL ".join(branches)
+    return f"""WITH {triples_cte(sf)},{_PARITY_GRAPH_CTE},
+{",".join(parts)}
+{union}"""
 
 
 def _match_count_sql(col: str, terms: list[str]) -> str:
@@ -597,6 +658,35 @@ SELECT c.entity, c.community, c.community_score,
        {_match_count_sql('nt.text', terms)} AS entity_score
 FROM cohort c LEFT JOIN node_texts nt USING (entity)
 ORDER BY entity_score DESC, community_score DESC, entity ASC LIMIT 10000"""
+
+
+def sql_paths_2hop(
+    sf: float, start: str = "ent_000", decay: float = 0.85, max_paths: int = 500
+) -> str:
+    """Path-enumeration oracle — mirrors graph.traversal_paths at depth 2:
+    simple paths as node sequences, (score desc, path asc) top-max_paths,
+    truncated flag when the budget trims. Ordering is on the LIST (same
+    lexicographic semantics both engines); the gate projects the joined
+    string."""
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+p0 AS (SELECT ['{start}'] AS path, 0 AS depth, 1.0::DOUBLE AS score),
+p1 AS (
+  SELECT ['{start}', dst] AS path, 1 AS depth, 1.0::DOUBLE * {decay} AS score
+  FROM und WHERE src = '{start}'
+),
+p2 AS (
+  SELECT list_append(p1.path, u.dst) AS path, 2 AS depth, p1.score * {decay} AS score
+  FROM p1 JOIN und u ON u.src = p1.path[-1]
+  WHERE NOT list_contains(p1.path, u.dst)
+),
+allp AS MATERIALIZED (
+  SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM p2
+),
+tot AS (SELECT COUNT(*) AS c FROM allp)
+SELECT array_to_string(path, '->') AS path, depth, score, (tot.c > {max_paths}) AS truncated
+FROM allp, tot
+ORDER BY score DESC, allp.path ASC LIMIT {max_paths}"""
 
 
 def sql_sliding_degree(sf: float, width_s: int = 600, slide_s: int = 300) -> str:
@@ -730,6 +820,58 @@ FROM st WHERE predicate = 'conv.turn.text' AND contains(object, 'invoke')
 UNION ALL
 SELECT 'assistant_regex', subject, ts
 FROM st WHERE predicate = 'conv.turn.role' AND regexp_matches(object, '^(assistant|system)$')"""
+
+
+def sql_entity_delete(
+    sf: float,
+    late_ts: str = "2025-03-01 00:00:00",
+    early_ts: str = "2024-12-01 00:00:00",
+) -> str:
+    """Tombstone-merge oracle — mirrors q_entity_delete: mention-target
+    nodes with delete-wins-ties status, version bump per tombstone, and
+    live-edge counts after edge cleanup (mutations.py semantics)."""
+    suffix_mod = "TRY_CAST(str_split({c}, '_')[-1] AS INT) % 7"
+    return f"""WITH {triples_cte(sf)},
+men AS (
+  SELECT object AS id, ts, seq FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+nodes AS (
+  SELECT id, str_split(id, '.')[5] AS type,
+         COUNT(DISTINCT (ts, seq)) AS version, MAX(ts) AS updated_at
+  FROM men GROUP BY id
+),
+ents AS (SELECT DISTINCT id AS entity_id FROM men),
+dels AS (
+  SELECT entity_id, TIMESTAMP '{late_ts}' AS ts FROM ents
+  WHERE {suffix_mod.format(c='entity_id')} = 0
+  UNION ALL
+  SELECT entity_id, TIMESTAMP '{early_ts}' FROM ents
+  WHERE {suffix_mod.format(c='entity_id')} = 3
+),
+ld AS (SELECT entity_id, MAX(ts) AS deleted_at, COUNT(*) AS n_deletes FROM dels GROUP BY entity_id),
+rel AS (
+  SELECT subject AS src, object AS dst, {_EDGE_TYPE_SQL} AS edge_type, ts
+  FROM triples WHERE object_type = 'entity_ref'
+),
+e AS (SELECT src, dst, edge_type, MAX(ts) AS updated_at FROM rel GROUP BY 1, 2, 3),
+live AS (
+  SELECT e.dst AS id, COUNT(*) AS n_live
+  FROM e
+  LEFT JOIN ld ls ON e.src = ls.entity_id
+  LEFT JOIN ld ldd ON e.dst = ldd.entity_id
+  WHERE (ls.deleted_at IS NULL OR e.updated_at > ls.deleted_at)
+    AND (ldd.deleted_at IS NULL OR e.updated_at > ldd.deleted_at)
+  GROUP BY e.dst
+)
+SELECT n.id, n.type,
+       CASE WHEN ld.deleted_at IS NOT NULL AND ld.deleted_at >= n.updated_at
+            THEN 'deleted' ELSE 'active' END AS status,
+       n.version + COALESCE(ld.n_deletes, 0) AS version,
+       n.updated_at, ld.deleted_at,
+       COALESCE(live.n_live, 0) AS n_live_edges
+FROM nodes n
+LEFT JOIN ld ON n.id = ld.entity_id
+LEFT JOIN live ON n.id = live.id"""
 
 
 def sql_incoming_top(sf: float, k: int = 20) -> str:

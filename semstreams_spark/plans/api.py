@@ -101,6 +101,37 @@ class GraphQueryAPI:
             F.count(F.lit(1)).alias("n_incoming"),
         )
 
+    # -- spatial (indexmanager/manager.go:1223-1281) -------------------------
+    def query_spatial(
+        self,
+        min_lat: float,
+        max_lat: float,
+        min_lon: float,
+        max_lon: float,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        bin_col: str | None = None,
+        bin_precision: int = 4,
+    ) -> DataFrame:
+        """QuerySpatial bbox scan: pure range predicates on (lat, lon) —
+        pushed into the parquet scan; when the node table carries a
+        geo_bin partition column (`bin_col`), the bbox additionally prunes
+        partitions via geo_bins_for_bbox (SPATIAL_INDEX parity: the
+        reference scans its geo-bin secondary index, we scan geo-bin
+        partitions)."""
+        out = self.nodes.filter(
+            (F.col(lat_col) >= min_lat)
+            & (F.col(lat_col) <= max_lat)
+            & (F.col(lon_col) >= min_lon)
+            & (F.col(lon_col) <= max_lon)
+        )
+        if bin_col is not None:
+            from ..operators.textops import geo_bins_for_bbox
+
+            bins = geo_bins_for_bbox(min_lat, max_lat, min_lon, max_lon, bin_precision)
+            out = out.filter(F.col(bin_col).isin(bins))
+        return out
+
     # -- snapshot (querymanager/query.go:276-346) ----------------------------
     def snapshot(
         self,

@@ -139,6 +139,51 @@ def test_degree_and_pagerank(edges):
     assert ranks["a"] > ranks["d"] * 0.5  # triangle members hold rank
 
 
+def test_traversal_paths_sequences_and_cycles(edges):
+    from semstreams_spark.graph import traversal_paths
+
+    out = traversal_paths(edges, "a", max_depth=2, decay=0.5).collect()
+    paths = {tuple(r["path"]): r for r in out}
+    assert paths[("a",)]["depth"] == 0 and paths[("a",)]["score"] == 1.0
+    assert paths[("a", "b")]["score"] == 0.5
+    assert paths[("a", "b", "c")]["depth"] == 2 and paths[("a", "b", "c")]["score"] == 0.25
+    # cycle avoidance: no path revisits a node
+    assert all(len(set(p)) == len(p) for p in paths)
+    assert ("a", "b", "a") not in paths
+    assert all(not r["truncated"] for r in out)
+
+
+def test_traversal_paths_max_paths_truncation(edges):
+    from semstreams_spark.graph import traversal_paths
+
+    out = traversal_paths(edges, "a", max_depth=2, decay=0.5, max_paths=3).collect()
+    assert len(out) == 3
+    assert all(r["truncated"] for r in out)
+    # deterministic selection: score desc then path asc — the depth-0 and
+    # the two lexicographically smallest depth-1 paths survive
+    kept = sorted(tuple(r["path"]) for r in out)
+    assert kept[0] == ("a",)
+    assert all(r["depth"] <= 1 for r in out)
+
+
+def test_traversal_paths_max_time_budget(edges):
+    from semstreams_spark.graph import traversal_paths
+
+    out = traversal_paths(edges, "a", max_depth=3, max_time_s=0.0).collect()
+    # no hop could run inside a zero budget: only the start path, flagged
+    assert [tuple(r["path"]) for r in out] == [("a",)]
+    assert out[0]["truncated"]
+
+
+def test_traversal_paths_per_hop_cap(edges):
+    from semstreams_spark.graph import traversal_paths
+
+    full = traversal_paths(edges, "a", max_depth=2).collect()
+    capped = traversal_paths(edges, "a", max_depth=2, per_hop_cap=1).collect()
+    assert len(capped) < len(full)
+    assert all(r["truncated"] for r in capped)
+
+
 def test_lpa_two_communities(spark):
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
@@ -148,3 +193,60 @@ def test_lpa_two_communities(spark):
     assert out["a"] == out["b"] == out["c"]
     assert out["x"] == out["y"] == out["z"]
     assert out["a"] != out["x"]
+
+
+def test_lpa_hierarchy_merges_levels(spark):
+    """Two triangles joined by one bridge edge: level 0 keeps them as two
+    communities; level 1 clusters the 2-node community graph into one."""
+    from semstreams_spark.graph import lpa_hierarchy
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+        "src string, dst string",
+    )
+    rows = lpa_hierarchy(e, levels=2, max_iter=8).collect()
+    l0 = {r["entity"]: r["community"] for r in rows if r["level"] == 0}
+    l1 = {r["entity"]: r["community"] for r in rows if r["level"] == 1}
+    assert set(l0) == set(l1) == {"a", "b", "c", "x", "y", "z"}
+    # level 1 must be a coarsening of level 0: same-l0-community nodes stay together
+    assert l1["a"] == l1["b"] == l1["c"]
+    assert l1["x"] == l1["y"] == l1["z"]
+    # and the bridge merges the two communities at level 1
+    assert len(set(l1.values())) <= len(set(l0.values()))
+
+
+def test_lpa_hierarchy_isolated_community_keeps_id(spark):
+    from semstreams_spark.graph import lpa_hierarchy
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("x", "z"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    rows = lpa_hierarchy(e, levels=3, max_iter=8).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], {})[r["entity"]] = r["community"]
+    # no cross-community edges -> level loop breaks after level 0
+    assert list(by_level) == [0]
+
+
+def test_graphrag_local_search_at_levels(spark):
+    """Level threading: at level 0 the cohort is x's triangle only; at
+    level 1 the bridge pulls both communities into one cohort."""
+    from semstreams_spark.graph import lpa_hierarchy
+    from semstreams_spark.graph.graphrag import local_search
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+        "src string, dst string",
+    )
+    hier = lpa_hierarchy(e, levels=2, max_iter=8).cache()
+    texts = hier.select("entity").distinct().select(
+        "entity", F.concat(F.lit("doc about "), "entity").alias("text")
+    )
+    m0 = hier.filter(F.col("level") == 0).select("entity", "community")
+    m1 = hier.filter(F.col("level") == 1).select("entity", "community")
+    hits0 = {r["entity"] for r in local_search(m0, texts, "x", "doc").collect()}
+    hits1 = {r["entity"] for r in local_search(m1, texts, "x", "doc").collect()}
+    assert hits0 == {"x", "y", "z"}
+    assert hits1 == {"a", "b", "c", "x", "y", "z"}

@@ -100,3 +100,78 @@ def test_edge_upsert(spark):
 def test_property_triples_excluded_from_edges(spark):
     t = _triples(spark, [base("a.b.c.d.e.1", "p.q.r", "just a string", 0, 0)])
     assert edges_table(t).count() == 0
+
+
+# ---------------------------------------------------------- tombstones
+
+
+def _deletes(spark, rows):
+    return spark.createDataFrame(rows, "entity_id string, ts timestamp")
+
+
+def test_create_delete_recreate_sequence(spark):
+    """mutations.go:169 semantics: delete kills older state (delete wins
+    ties), a newer update recreates the entity, version counts mutations."""
+    from semstreams_spark.operators.mutations import (
+        apply_deletes,
+        deletion_events,
+        nodes_with_status,
+    )
+
+    ent = "a.b.c.d.e.1"
+    gone = "a.b.c.d.e.2"
+    t = _triples(
+        spark,
+        [
+            base(ent, "p.name", "v1", 0, 0),      # create
+            base(ent, "p.name", "v2", 20, 1),     # recreate AFTER the delete at +10
+            base(ent, "p.size", "9", 5, 0),       # killed by the delete
+            base(gone, "p.name", "x", 0, 0),      # deleted, never recreated
+        ],
+    )
+    d = _deletes(
+        spark,
+        [(ent, TS + dt.timedelta(seconds=10)), (gone, TS + dt.timedelta(seconds=10))],
+    )
+    st = apply_deletes(entity_states(t), d)
+    live = {(r["subject"], r["predicate"]): r["object"] for r in st.collect()}
+    assert live == {(ent, "p.name"): "v2"}  # p.size and `gone` tombstoned
+
+    nodes = nodes_with_status(nodes_table(t), d)
+    by_id = {r["id"]: r for r in nodes.collect()}
+    assert by_id[ent]["status"] == "active"       # recreated
+    assert by_id[gone]["status"] == "deleted"
+    assert by_id[gone]["deleted_at"] == TS + dt.timedelta(seconds=10)
+    # version = updates + tombstones (reference bumps Version per mutation)
+    assert by_id[ent]["version"] == 3 + 1
+    assert by_id[gone]["version"] == 1 + 1
+
+    ev = deletion_events(d).collect()
+    assert {(r["rule_id"], r["entity_id"]) for r in ev} == {
+        ("entity_deleted", ent),
+        ("entity_deleted", gone),
+    }
+
+
+def test_delete_wins_ties_and_edge_cleanup(spark):
+    from semstreams_spark.operators.mutations import apply_deletes, edges_after_deletes
+
+    ent = "a.b.c.d.e.1"
+    t = _triples(spark, [base(ent, "p.name", "v1", 10, 0)])
+    # tombstone at the SAME ts as the state row -> delete wins
+    d = _deletes(spark, [(ent, TS + dt.timedelta(seconds=10))])
+    assert apply_deletes(entity_states(t), d).count() == 0
+
+    edges = _triples(
+        spark,
+        [
+            base("s.b.c.d.e.1", "x.turn.mentions", ent, 5, 0, "entity_ref"),   # dst dead
+            base("s.b.c.d.e.1", "x.turn.mentions", "f.g.h.i.j.9", 5, 0, "entity_ref"),
+            base(ent, "x.turn.mentions", "f.g.h.i.j.9", 30, 0, "entity_ref"),  # src recreated after
+        ],
+    )
+    live = edges_after_deletes(edges_table(edges), d).collect()
+    assert {(r["src"], r["dst"]) for r in live} == {
+        ("s.b.c.d.e.1", "f.g.h.i.j.9"),
+        (ent, "f.g.h.i.j.9"),  # observed after the tombstone -> survives
+    }
