@@ -577,6 +577,47 @@ def q_entity_delete(spark, sf_dir):
     )
 
 
+SPATIAL_BBOX = (10.0, 60.0, -30.0, 40.0)
+
+
+def q_spatial_bbox(spark, sf_dir):
+    """QuerySpatial surface (indexmanager/manager.go:1223-1281): bbox scan
+    over mention-target entities with deterministic hash-derived
+    coordinates, plus the precision-7 geo_bin key (indexes.go:1015-1044).
+    Partition-pruned reads over geo-binned tables are covered by
+    test_spatial_partition_pruning."""
+    from semstreams_spark.operators.textops import geo_bin, synthetic_coords
+    from semstreams_spark.plans.api import GraphQueryAPI
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    ents = (
+        triples.filter(F.col("predicate") == "conv.turn.mentions")
+        .select(F.col("object").alias("id"))
+        .distinct()
+    )
+    coords = synthetic_coords(ents, "id")
+    api = GraphQueryAPI(nodes=coords, edges=None, triples=None)
+    out = api.query_spatial(*SPATIAL_BBOX)
+    return out.select("id", "lat", "lon", geo_bin(F.col("lat"), F.col("lon"), 7).alias("geo7"))
+
+
+ENTITY_QUERY = "invoke calc stream window graph"
+
+
+def q_entity_semantic_topk(spark, sf_dir):
+    """G7/G8/G9 entity semantic search: deterministic hashed-TF embedder
+    over latest-mention-context entity texts (bm25_embedder.go:46-64 shape)
+    with content-hash embedding dedup (G8), cosine top-k vs the query
+    embedding computed driver-side with the identical hash."""
+    from semstreams_spark.operators.similarity import cosine_topk
+    from semstreams_spark.search.embedder import embed_entities_deduped, embed_text_py
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    emb = embed_entities_deduped(_mention_context_texts(triples))
+    top = cosine_topk(emb, embed_text_py(ENTITY_QUERY), k=10, id_col="entity", vec_col="embedding")
+    return top.select(F.col("vec_id").alias("entity"), F.round("cosine", 6).alias("cosine"))
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -653,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "entity_delete": q_entity_delete,
+        "spatial_bbox": q_spatial_bbox,
+        "entity_semantic_topk": q_entity_semantic_topk,
         "incoming_top": q_incoming_top,
         "metrics_rollup": q_metrics_rollup,
     }
@@ -752,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
+        "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),
+        "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10),
         "incoming_top": oracles.sql_incoming_top(ORACLE_SF),
         "metrics_rollup": """
             SELECT event_type,

@@ -570,6 +570,24 @@ def sql_lpa_hierarchy(sf: float, levels: int = 2, max_iter: int = 8) -> str:
 {union}"""
 
 
+# latest-mention-context text per entity (LWW on (ts, seq, text)) —
+# mirrors __spark_entry__._mention_context_texts
+_NODE_TEXTS_CTE = """
+men AS (
+  SELECT str_split(object, '.')[-1] AS entity, subject, ts, seq
+  FROM triples WHERE predicate = 'conv.turn.mentions'
+),
+txt AS (SELECT subject, object AS text FROM triples WHERE predicate = 'conv.turn.text'),
+node_texts AS MATERIALIZED (
+  SELECT entity, text FROM (
+    SELECT men.entity, txt.text,
+           row_number() OVER (PARTITION BY men.entity
+                              ORDER BY men.ts DESC, men.seq DESC, txt.text DESC) AS rn
+    FROM men JOIN txt USING (subject)
+  ) WHERE rn = 1
+)"""
+
+
 def _match_count_sql(col: str, terms: list[str]) -> str:
     """Number of query terms contained in lower(col) — mirrors
     graphrag._match_count (NULL text scores 0)."""
@@ -598,19 +616,7 @@ edges_f AS (SELECT * FROM edges WHERE starts_with(src, 'ent_') AND starts_with(d
 und AS (SELECT src, dst FROM edges_f UNION SELECT dst, src FROM edges_f),
 {_lpa_chain(max_iter)},
 members AS (SELECT entity, label AS community FROM l{max_iter}),
-men AS (
-  SELECT str_split(object, '.')[-1] AS entity, subject, ts, seq
-  FROM triples WHERE predicate = 'conv.turn.mentions'
-),
-txt AS (SELECT subject, object AS text FROM triples WHERE predicate = 'conv.turn.text'),
-node_texts AS (
-  SELECT entity, text FROM (
-    SELECT men.entity, txt.text,
-           row_number() OVER (PARTITION BY men.entity
-                              ORDER BY men.ts DESC, men.seq DESC, txt.text DESC) AS rn
-    FROM men JOIN txt USING (subject)
-  ) WHERE rn = 1
-),
+{_NODE_TEXTS_CTE},
 jt AS (
   SELECT mem.community, nt.text
   FROM members mem LEFT JOIN node_texts nt USING (entity)
@@ -872,6 +878,70 @@ SELECT n.id, n.type,
 FROM nodes n
 LEFT JOIN ld ON n.id = ld.entity_id
 LEFT JOIN live ON n.id = live.id"""
+
+
+def sql_entity_semantic_topk(sf: float, query: str, k: int = 10, dim: int = 64) -> str:
+    """Entity semantic search oracle — mirrors search.embedder.embed_texts
+    over latest-mention-context node texts (hashed-TF buckets, L2
+    normalize, sequential folds) + cosine top-k vs the driver-side query
+    embedding."""
+    from .search.embedder import embed_text_py
+
+    qv = embed_text_py(query, dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    sq = _fold_sum("list_transform(vec, x -> x * x)")
+    dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> embedding[j] * qv[j])")
+    na = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> embedding[j] * embedding[j])')})"
+    nb = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> qv[j] * qv[j])')})"
+    return f"""WITH {triples_cte(sf)},
+{_NODE_TEXTS_CTE},
+toks AS (SELECT entity, unnest({_TOKS}) AS tok FROM node_texts),
+b AS (
+  SELECT entity,
+         CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {dim} AS INT) AS bucket
+  FROM toks
+),
+g AS (SELECT entity, list(bucket) AS buckets FROM b GROUP BY entity),
+v AS (
+  SELECT entity,
+         list_transform(range(0, {dim}), i -> CAST(len(list_filter(buckets, x -> x = i)) AS DOUBLE)) AS vec
+  FROM g
+),
+n AS (SELECT entity, vec, sqrt({sq}) AS nrm FROM v),
+e AS (
+  SELECT entity,
+         CASE WHEN nrm > 0 THEN list_transform(vec, x -> x / nrm) ELSE vec END AS embedding
+  FROM n
+),
+q AS (SELECT {qlit} AS qv),
+s AS (SELECT entity, {dot} / ({na} * {nb}) AS cosine FROM e, q)
+SELECT entity, round(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, entity ASC LIMIT {k}"""
+
+
+def sql_spatial_bbox(
+    sf: float,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> str:
+    """QuerySpatial oracle — mirrors textops.synthetic_coords (hash-derived
+    exact coordinates) + api.query_spatial bbox predicates + geo_bin
+    precision-7 key."""
+    h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    h_lat = h.format(x="id || ':lat'")
+    h_lon = h.format(x="id || ':lon'")
+    lat = f"({h_lat} % 1800000) / 10000.0 - 90.0"
+    lon = f"({h_lon} % 3600000) / 10000.0 - 180.0"
+    return f"""WITH {triples_cte(sf)},
+ents AS (SELECT DISTINCT object AS id FROM triples WHERE predicate = 'conv.turn.mentions'),
+coords AS (SELECT id, {lat} AS lat, {lon} AS lon FROM ents)
+SELECT id, lat, lon,
+       'geo_7_' || CAST(CAST(floor((lat + 90.0) * 300) AS BIGINT) AS VARCHAR)
+         || '_' || CAST(CAST(floor((lon + 180.0) * 300) AS BIGINT) AS VARCHAR) AS geo7
+FROM coords
+WHERE lat >= {min_lat} AND lat <= {max_lat} AND lon >= {min_lon} AND lon <= {max_lon}"""
 
 
 def sql_incoming_top(sf: float, k: int = 20) -> str:

@@ -1,0 +1,79 @@
+"""Deterministic hashed text embedder + content-hash embedding dedup.
+
+Reference: the BM25-hashed embedder produces fixed-dim vectors by hashing
+terms into dimensions with TF weighting and L2-normalizing
+(``pkg/embedding/bm25_embedder.go:46-64,83-293``, 384-dim default), and
+the embedding pipeline dedups embedder calls by content hash
+(``docs/architecture/GRAPHRAG_LESSONS_LEARNED.md:514``, G8).
+
+Spark shape: tokens → portable hash % dim → per-bucket counts folded into
+a dense array — one explode + one groupBy, all Catalyst; no model state,
+bit-reproducible anywhere (DuckDB mirror in oracles.sql_entity_semantic_topk,
+driver-side mirror in embed_text_py for query vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.textops import portable_hash, tokens
+
+DEFAULT_DIM = 64  # gate dim; the reference defaults to 384 — a param here
+
+
+def embed_texts(df: DataFrame, id_col: str, text_col: str = "text", dim: int = DEFAULT_DIM) -> DataFrame:
+    """(id, embedding array<double>[dim]): hashed-TF embedding, L2-normalized.
+
+    vec[i] = |{tokens t : H(t) mod dim == i}| (with multiplicity), then
+    vec / ||vec||. Empty-token texts embed to the zero vector (norm guard).
+    """
+    t = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    b = t.select("_id", (portable_hash(F.col("tok")) % dim).cast("int").alias("bucket"))
+    g = b.groupBy("_id").agg(F.collect_list("bucket").alias("buckets"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(F.col("buckets"), lambda x: x == i)).cast("double"),
+    )
+    out = g.withColumn("_vec", vec)
+    norm = F.sqrt(F.aggregate(F.col("_vec"), F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = F.when(
+        norm > 0, F.transform(F.col("_vec"), lambda x: x / norm)
+    ).otherwise(F.col("_vec"))
+    return out.select(F.col("_id").alias(id_col), emb.alias("embedding"))
+
+
+def embed_entities_deduped(
+    node_texts: DataFrame,
+    id_col: str = "entity",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(entity, embedding): embeds each DISTINCT content hash once and
+    joins back — the reference's content-addressed embedder-call dedup
+    (G8). With duplicated texts (alias entities, re-crawls) this cuts
+    embedder work to the unique-content count; the join back is on the
+    tiny hash dim."""
+    h = node_texts.select(id_col, F.md5(F.col(text_col)).alias("chash"), text_col)
+    uniq = h.select("chash", text_col).dropDuplicates(["chash"])
+    emb = embed_texts(uniq, id_col="chash", text_col=text_col, dim=dim)
+    return h.join(emb, "chash").select(id_col, "embedding")
+
+
+def embed_text_py(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Driver-side mirror of embed_texts for a single query string —
+    identical hash (md5-hex-prefix) and identical fold order, so cosine
+    against the distributed embeddings is engine-exact."""
+    toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+    vec = [0.0] * dim
+    for t in toks:
+        vec[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim] += 1.0
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    n = math.sqrt(acc)
+    return [x / n for x in vec] if n > 0 else vec
