@@ -76,6 +76,46 @@ def community_summaries(
     )
 
 
+def community_representatives(
+    members: DataFrame,  # (entity, community)
+    edges: DataFrame | None = None,  # (src, dst) for the degree fallback
+    ranks: DataFrame | None = None,  # (entity, rank) precomputed PageRank
+    k: int = 3,
+) -> DataFrame:
+    """Representative entities per community (``pkg/graphclustering/
+    summarizer.go:45-410``): top-k members by PageRank, falling back to
+    degree centrality when no rank table is supplied
+    (``pagerank.go:280-326`` degree fallback). Members in neither table
+    score 0. Returns (community, representatives array<string>) with the
+    deterministic (score desc, entity asc) order inside the array."""
+    if ranks is not None:
+        score = ranks.select("entity", F.col("rank").cast("double").alias("score"))
+    elif edges is not None:
+        from .pagerank import degree_centrality
+
+        score = degree_centrality(edges).select(
+            "entity", F.col("degree").cast("double").alias("score")
+        )
+    else:
+        raise ValueError("need ranks or edges (degree fallback)")
+    j = (
+        members.join(score, "entity", "left")
+        .fillna(0.0, ["score"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("community").orderBy(F.desc("score"), F.asc("entity"))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+    )
+    return j.groupBy("community").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rk", "entity"))), lambda s: s["entity"]
+        ).alias("representatives")
+    )
+
+
 def llm_enhance(summaries: DataFrame) -> DataFrame:
     """G6 stub: the reference posts summaries to an external LLM service
     (``summarizer.go:413-438``). No external services in this engine —

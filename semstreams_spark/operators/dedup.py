@@ -54,14 +54,30 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold (a < b).
 
-    Self-join on shingle: cost ∝ Σ df(shingle)^2 — fine when shingles are
-    discriminative; the MinHash path below is the guard for hot shingles.
+    Self-join on shingle: cost ∝ Σ df(shingle)² — fine when shingles are
+    discriminative. ``max_shingle_df`` is the hot-shingle guard for scale:
+    shingles appearing in more than that many docs are EXCLUDED from the
+    candidate join (a df-10^6 boilerplate shingle alone is 10^12 join
+    rows). Set sizes still count all shingles, so with a cap the computed
+    jaccard is a lower bound (hot shingles contribute denominator but not
+    numerator) — near-dup pairs always share rare shingles, so recall at
+    sensible thresholds is unaffected; leave None for the exact oracle
+    form.
     """
     s = shingle_sets(docs, id_col, text_col, n)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_df is not None:
+        df_ok = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        s = s.join(df_ok, "shingle", "left_semi")
     a, b = s.alias("a"), s.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

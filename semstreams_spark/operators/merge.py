@@ -86,15 +86,20 @@ def nodes_table(triples: DataFrame) -> DataFrame:
     )
 
 
-def edges_table(triples: DataFrame) -> DataFrame:
+def edges_table(triples: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
     """Edge upsert from relationship triples.
 
     Key (src, dst, edge_type); newest observation wins for weight/properties
     (``types/graph/types.go:125-134``), created_at keeps the earliest
     observation, n_obs counts observations (drives co-occurrence weights).
+
+    ttl_seconds adds an ``expires_at`` column (= updated_at + ttl),
+    mirroring the reference edge ExpiresAt (``types/graph/types.go:
+    108-116``); pair with ``live_edges`` for the filter-on-read
+    (``types.go:150-159`` IsExpired).
     """
     rel = triples.filter(F.col("object_type") == "entity_ref")
-    return (
+    out = (
         rel.select(
             F.col("subject").alias("src"),
             F.col("object").alias("dst"),
@@ -110,3 +115,17 @@ def edges_table(triples: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+    if ttl_seconds is not None:
+        out = out.withColumn(
+            "expires_at", F.col("updated_at") + F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+        )
+    return out
+
+
+def live_edges(edges: DataFrame, as_of) -> DataFrame:
+    """Filter-on-read for edge expiry (``types/graph/types.go:150-159``):
+    keep edges with no ``expires_at`` or one strictly after ``as_of``.
+    A pure range predicate — pushed into the scan."""
+    if "expires_at" not in edges.columns:
+        return edges
+    return edges.filter(F.col("expires_at").isNull() | (F.col("expires_at") > F.lit(as_of)))

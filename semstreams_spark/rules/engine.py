@@ -23,6 +23,7 @@ single Catalyst filter (no Python).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -224,6 +225,31 @@ def apply_cooldown_lag(events: DataFrame, rules: list[Rule]) -> DataFrame:
         .filter((F.col("_cd") == 0) | F.col("_ok"))
         .drop("_cd", "_ok")
     )
+
+
+def subject_pattern_filter(col: Column, pattern: str) -> Column:
+    """R3 subject wildcard matching (``processor/rule/message_handler.go:
+    114-133``): NATS-style patterns over dot-separated subjects — ``>``
+    alone matches everything, a trailing ``.>`` matches one-or-more
+    further tokens, ``*`` matches exactly one token, anything else is an
+    exact match. (The reference implements the exact/``>``-forms and
+    notes "in production, use proper NATS subject matching" — this is
+    that proper form.) Compiled to ONE anchored rlike — pure codegen.
+    """
+    if pattern == ">":
+        return F.lit(True)
+    parts = pattern.split(".")
+    rx_parts: list[str] = []
+    for i, p in enumerate(parts):
+        if p == ">":
+            if i != len(parts) - 1:
+                raise ValueError(f"'>' must be the final token: {pattern!r}")
+            rx_parts.append(r"[^.]+(\.[^.]+)*")
+        elif p == "*":
+            rx_parts.append(r"[^.]+")
+        else:
+            rx_parts.append(re.escape(p))
+    return col.rlike("^" + r"\.".join(rx_parts) + "$")
 
 
 # Keep in sync with oracles.sql_rule_events

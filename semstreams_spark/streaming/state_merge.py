@@ -127,6 +127,13 @@ def _accept_turns(
         order = np.lexsort((idx, ts_us))  # (ts, turn_idx) stable order
         idx, ts_us = idx[order], ts_us[order]
         mask = ~np.isin(idx, np.concatenate(new_seen))
+        # intra-chunk redelivery guard: two copies of the same turn_idx in
+        # ONE Arrow chunk must accept once (first in (ts, turn_idx) order
+        # wins) — np.isin only rejects turns seen in PRIOR chunks/batches
+        _, first_i = np.unique(idx, return_index=True)
+        first_occ = np.zeros(len(idx), dtype=bool)
+        first_occ[first_i] = True
+        mask &= first_occ
         k = int(mask.sum())
         if k == 0:
             continue

@@ -250,3 +250,46 @@ def test_graphrag_local_search_at_levels(spark):
     hits1 = {r["entity"] for r in local_search(m1, texts, "x", "doc").collect()}
     assert hits0 == {"x", "y", "z"}
     assert hits1 == {"a", "b", "c", "x", "y", "z"}
+
+
+def test_jaccard_hot_shingle_guard(spark):
+    """max_shingle_df drops boilerplate shingles from the candidate join;
+    near-dup pairs sharing rare shingles are still found."""
+    rows = [
+        (1, "common boiler plate alpha beta gamma delta"),
+        (2, "common boiler plate alpha beta gamma epsilon"),
+        (3, "common boiler plate zeta eta theta iota"),
+        (4, "common boiler plate kappa lam mu nu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+              jaccard_pairs(docs, threshold=0.3, max_shingle_df=2).collect()}
+    assert (1, 2) in exact and (1, 2) in capped
+    # capped jaccard is a lower bound of the exact value
+    assert capped[(1, 2)] <= exact[(1, 2)]
+
+
+def test_community_representatives_degree_fallback(spark):
+    from semstreams_spark.graph.summarize import community_representatives
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("x", "y")], "src string, dst string"
+    )
+    members = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c1"), ("x", "c2"), ("y", "c2")],
+        "entity string, community string",
+    )
+    reps = {r["community"]: r["representatives"] for r in
+            community_representatives(members, edges=e, k=2).collect()}
+    assert reps["c1"][0] == "a"          # degree 3 hub leads
+    assert len(reps["c1"]) == 2
+    assert set(reps["c2"]) == {"x", "y"}  # tie -> deterministic entity asc
+    # explicit rank table wins over degree
+    ranks = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.9), ("c", 0.2), ("d", 0.3), ("x", 0.5), ("y", 0.4)],
+        "entity string, rank double",
+    )
+    reps2 = {r["community"]: r["representatives"] for r in
+             community_representatives(members, ranks=ranks, k=1).collect()}
+    assert reps2["c1"] == ["b"] and reps2["c2"] == ["x"]

@@ -238,3 +238,74 @@ def test_salted_two_phase_agg(spark):
     got = {r["conv_id"]: r["n"] for r in final.collect()}
     assert got == direct
     assert partial.count() > 2  # hot conv actually split across salts
+
+
+def test_subject_wildcard_matching(spark):
+    """R3 (message_handler.go:114-133): NATS-style subject patterns."""
+    from semstreams_spark.rules.engine import subject_pattern_filter
+
+    df = spark.createDataFrame(
+        [("process.robotics.arm",), ("process.robotics",), ("process.web.arm",), ("other",)],
+        "subject string",
+    )
+    def hits(pattern):
+        return {r["subject"] for r in df.filter(subject_pattern_filter(F.col("subject"), pattern)).collect()}
+
+    assert hits(">") == {"process.robotics.arm", "process.robotics", "process.web.arm", "other"}
+    assert hits("process.robotics.>") == {"process.robotics.arm"}
+    assert hits("process.*.arm") == {"process.robotics.arm", "process.web.arm"}
+    assert hits("process.robotics") == {"process.robotics"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        subject_pattern_filter(F.col("subject"), "a.>.b")
+
+
+def test_entity_model_enums(spark):
+    from semstreams_spark.operators.entity_model import (
+        entity_class_from_id,
+        normalize_class,
+        normalize_role,
+        normalize_status,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("test.local.graph.kb.conversation.c1", "Agent", "primary", "critical"),
+            ("test.local.conv.c1.turn.3", "Bogus", "driver", "zombie"),
+            ("test.local.graph.kb.entity.e1", "Place", "observed", "inactive"),
+        ],
+        "id string, cls string, role string, status string",
+    )
+    out = df.select(
+        entity_class_from_id(F.col("id")).alias("from_id"),
+        normalize_class(F.col("cls")).alias("cls"),
+        normalize_role(F.col("role")).alias("role"),
+        normalize_status(F.col("status")).alias("status"),
+    ).collect()
+    assert [r["from_id"] for r in out] == ["Process", "Event", "Thing"]
+    assert [r["cls"] for r in out] == ["Agent", "Thing", "Place"]
+    assert [r["role"] for r in out] == ["primary", "related", "observed"]
+    assert [r["status"] for r in out] == ["critical", "unknown", "inactive"]
+
+
+def test_edge_expiry_column_and_filter(spark):
+    import datetime as _dt
+
+    from semstreams_spark.operators.merge import edges_table, live_edges
+
+    T = _dt.datetime(2025, 1, 1)
+    rows = [
+        ("s.b.c.d.e.1", "x.turn.mentions", "f.g.h.i.j.1", "entity_ref", "x", T, 1.0, "c", 0),
+        ("s.b.c.d.e.2", "x.turn.mentions", "f.g.h.i.j.2", "entity_ref", "x",
+         T + _dt.timedelta(hours=2), 1.0, "c", 0),
+    ]
+    cols = ["subject", "predicate", "object", "object_type", "source", "ts", "confidence", "context", "seq"]
+    e = edges_table(spark.createDataFrame(rows, cols), ttl_seconds=3600)
+    by_src = {r["src"]: r for r in e.collect()}
+    assert by_src["s.b.c.d.e.1"]["expires_at"] == T + _dt.timedelta(hours=1)
+    # as-of T+90min: first edge expired, second (updated at +2h) lives
+    alive = {r["src"] for r in live_edges(e, T + _dt.timedelta(minutes=90)).collect()}
+    assert alive == {"s.b.c.d.e.2"}
+    # tables without the column pass through untouched
+    assert live_edges(e.drop("expires_at"), T).count() == 2

@@ -169,3 +169,15 @@ def test_streaming_tool_correlation(spark, tmp_path):
     by_turn = {r["turn_idx"]: r["req_turn_idx"] for r in out}
     # both tool turns attribute to turn 1 (assistant), across the batch boundary
     assert by_turn == {2: 1, 3: 1}
+
+
+def test_intra_batch_duplicate_dedup(spark, tmp_path):
+    """Two copies of the same turn inside ONE micro-batch (one file) must
+    be accepted once — the cross-batch seen-set alone misses this."""
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows = _mk_rows("c1", 3, T0)
+    _write_file(indir, "f1.parquet", rows + rows[:2])  # dup of turns 0,1 in the same file
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=10)
+    out = sink.read(spark).filter(F.col("kind") == "triple")
+    n_type_triples = out.filter(F.col("predicate") == "rdf:type").count()
+    assert n_type_triples == 3  # not 5
