@@ -303,6 +303,15 @@ def q_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (inverted-file cells, deterministic lowest-id centroids,
+    probe-and-rerank) — the data-adaptive companion to ann_topk (LSH)."""
+    from semstreams_spark.operators.similarity import ann_topk_ivf
+
+    top = ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_bm25_topk(spark, sf_dir):
     from semstreams_spark.search import bm25_search
 
@@ -618,6 +627,20 @@ def q_entity_semantic_topk(spark, sf_dir):
     return top.select(F.col("vec_id").alias("entity"), F.round("cosine", 6).alias("cosine"))
 
 
+def q_media_metadata_stats(spark, sf_dir):
+    """Multimodal metadata-only aggregate over the deterministic synthetic
+    media table (binary payloads = repeated sha256 digests): the oracle
+    recomputes the generator contract analytically (payload length =
+    32*(1+i%4)), so the gate proves schema + aggregation + generator
+    determinism without codecs."""
+    from semstreams_spark.operators.multimodal import media_metadata_stats, synthesize_media
+
+    out = media_metadata_stats(synthesize_media(spark, n=64))
+    return out.select(
+        "kind", "n", "avg_width", "avg_sample_rate", F.col("total_bytes").cast("long").alias("total_bytes")
+    )
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -679,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
         "path_2hop": q_path_2hop,
@@ -696,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_delete": q_entity_delete,
         "spatial_bbox": q_spatial_bbox,
         "entity_semantic_topk": q_entity_semantic_topk,
+        "media_metadata_stats": q_media_metadata_stats,
         "incoming_top": q_incoming_top,
         "metrics_rollup": q_metrics_rollup,
     }
@@ -777,6 +802,9 @@ def oracle_sql() -> dict[str, str]:
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0
         ),
         "ann_topk": oracles.sql_ann_topk(_query_vec(f"/root/testdata/sf{sf:g}"), k=10),
+        "ivf_topk": oracles.sql_ivf_topk(
+            f"/root/testdata/sf{sf:g}", _query_vec(f"/root/testdata/sf{sf:g}"), k=10
+        ),
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
         "path_2hop": oracles.sql_path_2hop(sf),
@@ -797,6 +825,21 @@ def oracle_sql() -> dict[str, str]:
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),
         "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10),
+        "media_metadata_stats": """
+            WITH g AS (
+              SELECT i,
+                     ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
+                     CASE WHEN i % 3 = 0 THEN 8 + (i % 4) * 8 END AS width,
+                     CASE WHEN i % 3 = 1 THEN 16000 END AS sample_rate,
+                     32 * (1 + i % 4) AS n_bytes
+              FROM range(0, 64) t(i)
+            )
+            SELECT kind, COUNT(*) AS n,
+                   AVG(width) AS avg_width,
+                   AVG(sample_rate) AS avg_sample_rate,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+            FROM g GROUP BY kind
+        """,
         "incoming_top": oracles.sql_incoming_top(ORACLE_SF),
         "metrics_rollup": """
             SELECT event_type,

@@ -51,6 +51,13 @@ def batch_queries(spark, sf_dir):
         "q1_pricing",
         "bm25_topk",
         "minhash_pairs",
+        # round-2 breadth: iterative/graph paths so regressions are visible
+        "paths_2hop",
+        "lpa_hierarchy",
+        "graphrag_global",
+        "embedding_neardup_lsh",
+        "pagerank_entities",
+        "entity_semantic_topk",
     ]
     out = {}
     for n in names:

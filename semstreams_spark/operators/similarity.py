@@ -91,6 +91,80 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
     return sig
 
 
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): assign each vector to its max-cosine centroid
+    (min-cell-index tie-break). Centroids are broadcast as plan literals —
+    a map-only pass, no shuffle."""
+    structs = []
+    for ci, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        structs.append(F.struct(cosine_sim_expr(F.col(vec_col), c).alias("s"), F.lit(-ci).alias("ni")))
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        (-best["ni"]).alias("cell"),
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer cells + probe-and-rerank —
+    the data-adaptive alternative to the hyperplane LSH variant.
+
+    Centroids are the n_cells lowest-id vectors — a deterministic sample
+    that needs no training iterations (swap in offline k-means centroids
+    for quality; the query/probe plan is identical). Every vector joins
+    its max-cosine cell in ONE broadcast map pass; a query probes its
+    n_probe nearest cells and reranks exactly inside them, scanning
+    ~n_probe/n_cells of the corpus. At 100 TB the assignment is map-only
+    and the probe filter prunes cell-partitioned files.
+
+    Deterministic end-to-end: centroid choice, assignment tie-breaks
+    (min cell index), probe order, and the final (cosine desc, id asc)
+    rerank (exact DuckDB oracle: oracles.sql_ivf_topk)."""
+    cent_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)]
+    assigned = assign_ivf_cells(embeddings, centroids, id_col, vec_col)
+
+    # driver-side query→cell distances with the same fold order
+    def _cos(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    q = [float(x) for x in query_vec]
+    probe = sorted(range(len(centroids)), key=lambda i: (-_cos(q, centroids[i][1]), i))[:n_probe]
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select("vec_id", cosine_sim_expr(F.col("v"), qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

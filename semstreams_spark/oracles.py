@@ -351,6 +351,73 @@ SELECT vec_id, round(cosine, 6) AS cosine
 FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
+def sql_ivf_topk(
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """IVF ANN oracle — mirrors similarity.ann_topk_ivf: deterministic
+    lowest-id centroids (read here to build the same plan literals),
+    max-cosine cell assignment with min-index tie-break via an ordered
+    list_reduce, driver-identical probe selection, exact rerank."""
+    import math as _math
+    import os as _os
+
+    import duckdb as _duckdb
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    rows = _duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{p}') ORDER BY vec_id LIMIT {n_cells}"
+    ).fetchall()
+    centroids = [[float(x) for x in r[1]] for r in rows]
+    dim = len(query_vec)
+
+    def _cos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return acc / (_math.sqrt(na) * _math.sqrt(nb))
+
+    q = [float(x) for x in query_vec]
+    probe = sorted(range(n_cells), key=lambda i: (-_cos(q, centroids[i]), i))[:n_probe]
+
+    structs = []
+    for ci, cvec in enumerate(centroids):
+        clit = "[" + ", ".join(repr(v) for v in cvec) + "]::DOUBLE[]"
+        dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * ({clit})[j])")
+        na = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)')})"
+        nb = _math.sqrt(sum(v * v for v in cvec))
+        structs.append(f"{{'s': {dot} / ({na} * {nb!r}), 'ni': {-ci}}}")
+    slist = "[" + ", ".join(structs) + "]"
+    best = (
+        f"list_reduce({slist}, (a, b) -> CASE WHEN b.s > a.s OR (b.s = a.s AND b.ni > a.ni) "
+        "THEN b ELSE a END)"
+    )
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    dot_q = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * qv[j])")
+    na_q = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)')})"
+    nb_q = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> qv[j] * qv[j])')})"
+    probe_list = ", ".join(str(c) for c in probe)
+    return f"""WITH a AS (
+  SELECT vec_id, embedding, -({best}).ni AS cell FROM embeddings
+),
+q AS (SELECT {qlit} AS qv),
+cand AS (
+  SELECT vec_id, {dot_q} / ({na_q} * {nb_q}) AS cosine
+  FROM a, q WHERE cell IN ({probe_list})
+)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
 def sql_embedding_neardup_lsh(
     threshold: float = 0.95, n_planes: int = 16, dim: int = 64, plant_delta: float = 0.05
 ) -> str:

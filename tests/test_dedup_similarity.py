@@ -293,3 +293,27 @@ def test_community_representatives_degree_fallback(spark):
     reps2 = {r["community"]: r["representatives"] for r in
              community_representatives(members, ranks=ranks, k=1).collect()}
     assert reps2["c1"] == ["b"] and reps2["c2"] == ["x"]
+
+
+def test_ivf_topk_finds_near_copy(spark):
+    import numpy as np
+
+    from semstreams_spark.operators.similarity import ann_topk_ivf
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    q = (base / np.linalg.norm(base)).tolist()
+    near = base + rng.normal(size=64) * 0.01
+    rows.append((99, (near / np.linalg.norm(near)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = ann_topk_ivf(emb, q, k=3, n_cells=8, n_probe=8).collect()
+    # probing ALL cells == exact: the near-copy must lead
+    assert top[0]["vec_id"] == 99 and top[0]["cosine"] > 0.99
+    sub = ann_topk_ivf(emb, q, k=3, n_cells=8, n_probe=2).collect()
+    # probing 2/8 cells scans a subset; results are a subset of the corpus
+    assert len(sub) == 3

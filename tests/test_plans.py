@@ -60,3 +60,58 @@ def test_geo_bin(spark):
     out = [r["g"] for r in df.select(geo_bin(F.col("lat"), F.col("lon"), 7).alias("g")).collect()]
     assert out[0] == "geo_7_42452_53961"  # floor((51.5074+90)*300), floor((-0.1278+180)*300)
     assert out[1] == "geo_7_27000_54000"
+
+
+def test_tombstone_joins_are_broadcast(spark):
+    """mutations: the tiny delete dim must broadcast, never shuffle the
+    state side."""
+    import datetime as dt
+
+    from semstreams_spark.operators.mutations import apply_deletes
+
+    states = spark.createDataFrame(
+        [("e1", "p", "v", dt.datetime(2025, 1, 1))],
+        "subject string, predicate string, object string, ts timestamp",
+    )
+    deletes = spark.createDataFrame(
+        [("e1", dt.datetime(2025, 1, 2))], "entity_id string, ts timestamp"
+    )
+    p = _plan(apply_deletes(states, deletes))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_spatial_bbox_predicates_pushed(spark, tmp_path):
+    """query_spatial over a parquet node table: lat/lon range predicates
+    reach the scan."""
+    from semstreams_spark.operators.textops import synthetic_coords
+    from semstreams_spark.plans.api import GraphQueryAPI
+
+    ents = spark.createDataFrame([(f"e{i}",) for i in range(50)], "id string")
+    out = str(tmp_path / "nodes")
+    synthetic_coords(ents, "id").write.parquet(out)
+    api = GraphQueryAPI(nodes=spark.read.parquet(out), edges=None, triples=None)
+    p = _plan(api.query_spatial(0, 50, 0, 50))
+    assert "PushedFilters" in p and "lat" in p.split("PushedFilters")[1][:300]
+
+
+def test_embedder_stays_jvm_side(spark):
+    """The hashed embedder is pure Catalyst — no Python eval in the plan."""
+    from semstreams_spark.search.embedder import embed_texts
+
+    docs = spark.createDataFrame([("a", "hello world"), ("b", "graph stream")], "id string, text string")
+    p = _plan(embed_texts(docs, id_col="id"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pagerank_exact_no_cartesian_blowup(spark):
+    """pagerank_exact: the dmass crossJoin is a 1-row broadcast, and the
+    per-iteration link join is a hash join — no nested-loop over ranks."""
+    from semstreams_spark.graph import pagerank_exact
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    pr = pagerank_exact(e, max_iter=2)
+    p = _plan(pr)
+    assert "CartesianProduct" not in p
+    ranks = {r["entity"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 10**12) < 100  # mass conserved to ulp
