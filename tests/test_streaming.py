@@ -181,3 +181,58 @@ def test_intra_batch_duplicate_dedup(spark, tmp_path):
     out = sink.read(spark).filter(F.col("kind") == "triple")
     n_type_triples = out.filter(F.col("predicate") == "rdf:type").count()
     assert n_type_triples == 3  # not 5
+
+
+def test_streaming_deletes_create_delete_recreate(spark, tmp_path):
+    """Tombstones as their own exactly-once micro-batched stream: a delete
+    arriving after the entity's turns marks it deleted; a later recreate
+    (newer turn mentioning it) flips it back to active."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semstreams_spark.operators.mutations import nodes_with_status
+    from semstreams_spark.streaming.mutations import build_delete_stream, read_delete_stream
+
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ddir, dckpt = str(tmp_path / "dels"), str(tmp_path / "dckpt")
+    # turns at T0..T0+40s mentioning ent_a; later turn at +2h re-mentions it
+    _write_file(indir, "f1.parquet", _mk_rows("c1", 3, T0))
+    _write_file(indir, "f2.parquet", _mk_rows("c2", 2, T0 + dt.timedelta(hours=2)))
+    sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=10)
+
+    # two tombstones for ent_a in two micro-batch files: one between the
+    # two mention bursts (recreated), plus one for a never-seen entity
+    os.makedirs(ddir, exist_ok=True)
+    ent = "test.local.graph.kb.entity.ent_a"
+    t_del = T0 + dt.timedelta(hours=1)
+    pq.write_table(
+        pa.table({"entity_id": [ent], "ts": [t_del]}), os.path.join(ddir, "d1.parquet")
+    )
+    pq.write_table(
+        pa.table({"entity_id": ["test.local.graph.kb.entity.ghost"],
+                  "ts": [t_del], }), os.path.join(ddir, "d2.parquet")
+    )
+    q, dsink = build_delete_stream(read_delete_stream(spark, ddir, 1), str(tmp_path), dckpt)
+    q.awaitTermination()
+    deletes = dsink.read(spark)
+    assert deletes.count() == 2
+
+    triples = sink.read(spark).filter(F.col("kind") == "triple")
+    men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
+        F.col("object").alias("id"), "ts"
+    )
+    nodes = men.groupBy("id").agg(
+        F.count(F.lit(1)).alias("version"), F.max("ts").alias("updated_at")
+    ).withColumn("type", F.lit("entity"))
+    st = {r["id"]: r["status"] for r in nodes_with_status(nodes, deletes).collect()}
+    # mentioned again at T0+2h > tombstone at +1h -> recreated
+    assert st[ent] == "active"
+
+    # with only the first burst (max mention ts T0+40s < tombstone) the
+    # same composition reports deleted
+    early = men.filter(F.col("ts") < t_del)
+    nodes_early = early.groupBy("id").agg(
+        F.count(F.lit(1)).alias("version"), F.max("ts").alias("updated_at")
+    ).withColumn("type", F.lit("entity"))
+    st_early = {r["id"]: r["status"] for r in nodes_with_status(nodes_early, deletes).collect()}
+    assert st_early[ent] == "deleted"
