@@ -535,7 +535,9 @@ def q_graphrag_global(spark, sf_dir):
         F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
     )
     members = lpa_communities(edges, max_iter=6).cache()
-    texts = _mention_context_texts(triples)
+    # texts feed two branches of the final plan (summaries + rerank);
+    # cache so mention-context derivation runs once
+    texts = _mention_context_texts(triples).cache()
     summaries = community_summaries(members, texts, k_terms=5)
     return global_search(members, summaries, texts, GRAPHRAG_QUERY, top_communities=3)
 

@@ -81,9 +81,12 @@ def lpa_hierarchy(edges: DataFrame, levels: int = 3, max_iter: int = 8) -> DataF
     """
     if levels < 1:
         raise ValueError("levels must be >= 1")
-    members = lpa_communities(edges, max_iter)  # (entity, community)
+    # cache the (possibly expensively derived) edge input once: it feeds
+    # level-0 LPA and every level's community-graph build, each a separate
+    # action chain
+    e = edges.select("src", "dst").cache()
+    members = lpa_communities(e, max_iter).localCheckpoint(eager=True)
     out = members.withColumn("level", F.lit(0))
-    e = edges.select("src", "dst")
     for lvl in range(1, levels):
         ms = members.select(F.col("entity").alias("src"), F.col("community").alias("c_src"))
         md = members.select(F.col("entity").alias("dst"), F.col("community").alias("c_dst"))
@@ -103,6 +106,8 @@ def lpa_hierarchy(edges: DataFrame, levels: int = 3, max_iter: int = 8) -> DataF
                 "entity",
                 F.coalesce(F.col("up"), F.col("community")).alias("community"),
             )
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(members.withColumn("level", F.lit(lvl)))
+    e.unpersist()
     return out.select("entity", "level", "community")

@@ -46,6 +46,7 @@ def pagerank_exact(
     Mirrors the reference's damped iteration (``pkg/graphclustering/
     pagerank.go:50-219``) at fixed iteration count.
     """
+    edges = edges.select("src", "dst").cache()  # input derivation runs once
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
@@ -89,6 +90,7 @@ def pagerank_exact(
     nodes.unpersist()
     links.unpersist()
     dangling_nodes.unpersist()
+    edges.unpersist()
     return ranks
 
 
@@ -99,6 +101,7 @@ def pagerank(
     tol: float = 1e-6,
 ) -> DataFrame:
     """(entity, rank), Σrank = 1. Converges when Σ|Δ| < tol."""
+    edges = edges.select("src", "dst").cache()
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
@@ -161,4 +164,5 @@ def pagerank(
     nodes.unpersist()
     links.unpersist()
     dangling_nodes.unpersist()
+    edges.unpersist()
     return ranks

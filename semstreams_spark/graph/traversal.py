@@ -37,16 +37,7 @@ def bounded_traversal(
     (the reference enriches incoming + outgoing, J5).
     """
     spark: SparkSession = edges.sparkSession
-    e = edges.select("src", "dst", "edge_type")
-    if edge_filter:
-        e = e.filter(F.col("edge_type").isin(edge_filter))
-    if bidirectional:
-        e = e.select("src", "dst").unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    else:
-        e = e.select("src", "dst")
-    e = e.distinct()
+    e = _undirected(edges, edge_filter, bidirectional).cache()
 
     visited = spark.createDataFrame(
         [(start, 0, 1.0)], "entity string, depth int, score double"
@@ -73,6 +64,9 @@ def bounded_traversal(
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
+    # every level is already checkpointed, so the assembled result's
+    # lineage no longer references e — safe to unpersist immediately
+    e.unpersist()
     return visited
 
 
@@ -124,7 +118,10 @@ def traversal_paths(
     filter — level-synchronous BFS, no driver-side row loops.
     """
     spark: SparkSession = edges.sparkSession
-    e = _undirected(edges, edge_filter, bidirectional)
+    # cache the (possibly expensively derived) edge set ONCE — every hop,
+    # count, and the final sort are separate actions that would otherwise
+    # re-run the whole upstream plan (e.g. triple extraction) per action
+    e = _undirected(edges, edge_filter, bidirectional).cache()
 
     t0 = time.monotonic()
     frontier = spark.createDataFrame([([start], 0, 1.0)], "path array<string>, depth int, score double")
@@ -164,4 +161,5 @@ def traversal_paths(
         if total > max_paths:
             truncated = True
             out = out.orderBy(F.desc("score"), F.asc("path")).limit(max_paths)
+    e.unpersist()  # levels are checkpointed; lineage no longer needs e
     return out.withColumn("truncated", F.lit(truncated))
