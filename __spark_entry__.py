@@ -643,6 +643,21 @@ def q_media_metadata_stats(spark, sf_dir):
     )
 
 
+def q_graphrag_local(spark, sf_dir):
+    """G11 local search: ent_001's LPA community cohort, text-match
+    scored against the query over real mention-context texts."""
+    from semstreams_spark.graph import lpa_communities
+    from semstreams_spark.graph.graphrag import local_search
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    edges = _entity_edges(spark, sf_dir).filter(
+        F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
+    )
+    members = lpa_communities(edges, max_iter=6).cache()
+    texts = _mention_context_texts(triples)
+    return local_search(members, texts, "ent_001", GRAPHRAG_QUERY)
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -717,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
+        "graphrag_local": q_graphrag_local,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "entity_delete": q_entity_delete,
@@ -817,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "graphrag_global": oracles.sql_graphrag_global(
             sf, GRAPHRAG_QUERY, max_iter=6, top_communities=3, k_terms=5
         ),
+        "graphrag_local": oracles.sql_graphrag_local(sf, "ent_001", GRAPHRAG_QUERY, max_iter=6),
         "sliding_degree": oracles.sql_sliding_degree(sf),
         "json_filter_events": """
             SELECT event_id, event_type, value FROM events

@@ -986,6 +986,29 @@ SELECT entity, round(cosine, 6) AS cosine
 FROM s ORDER BY cosine DESC, entity ASC LIMIT {k}"""
 
 
+def sql_graphrag_local(
+    sf: float, entity: str, query: str, max_iter: int = 6
+) -> str:
+    """GraphRAG LocalSearch oracle (``querymanager/graphrag_search.go:
+    43-106``) — entity's community cohort, text-match scoring, mirrors
+    graphrag.local_search over the same LPA membership + node texts as
+    the global gate."""
+    terms = sorted({t for t in query.lower().split() if t})
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+edges_f AS (SELECT * FROM edges WHERE starts_with(src, 'ent_') AND starts_with(dst, 'ent_')),
+und AS (SELECT src, dst FROM edges_f UNION SELECT dst, src FROM edges_f),
+{_lpa_chain(max_iter)},
+members AS (SELECT entity, label AS community FROM l{max_iter}),
+{_NODE_TEXTS_CTE},
+comm AS (SELECT community FROM members WHERE entity = '{entity}'),
+cohort AS (SELECT m.entity, m.community FROM members m JOIN comm USING (community)),
+scored AS (
+  SELECT c.entity, c.community, {_match_count_sql('nt.text', terms)} AS score
+  FROM cohort c LEFT JOIN node_texts nt USING (entity)
+)
+SELECT entity, community, score FROM scored WHERE score > 0"""
+
+
 def sql_spatial_bbox(
     sf: float,
     min_lat: float,

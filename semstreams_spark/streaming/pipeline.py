@@ -63,6 +63,18 @@ def build_ingest_stream(
     BEFORE its ledger commit — the checkpoint-recovery test asserts
     exactly-once output across the restart.
     """
+    # observed source metrics (rows + event-time bounds per micro-batch):
+    # surfaces in StreamingQueryProgress.observedMetrics alongside the
+    # sink ledger's per-partition lineage — together the "lineage +
+    # metrics" contract; event-time min vs watermark exposes late-data
+    # pressure without touching the hot path (metrics ride the same scan)
+    transcripts = transcripts.observe(
+        "ingest_source",
+        F.count(F.lit(1)).alias("rows"),
+        F.min("ts").alias("min_event_ts"),
+        F.max("ts").alias("max_event_ts"),
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+    )
     deltas = conversation_graph_deltas(transcripts, watermark=watermark)
     sink = ExactlyOnceParquetSink(os.path.join(out_dir, "graph_deltas"))
 

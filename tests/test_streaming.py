@@ -236,3 +236,27 @@ def test_streaming_deletes_create_delete_recreate(spark, tmp_path):
     ).withColumn("type", F.lit("entity"))
     st_early = {r["id"]: r["status"] for r in nodes_with_status(nodes_early, deletes).collect()}
     assert st_early[ent] == "deleted"
+
+
+def test_observed_source_metrics_per_batch(spark, tmp_path):
+    """Each micro-batch's progress carries observed source metrics (rows,
+    event-time bounds) alongside the sink's per-partition lineage."""
+    import json as _json
+
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_file(indir, "f1.parquet", _mk_rows("c1", 4, T0))
+    _write_file(indir, "f2.parquet", _mk_rows("c2", 3, T0 + dt.timedelta(minutes=1)))
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    q, sink = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt, watermark="2 days")
+    q.awaitTermination()
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    observed = [
+        p["observedMetrics"]["ingest_source"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("ingest_source")
+    ]
+    data_batches = [m for m in observed if m["rows"] > 0]
+    assert sorted(m["rows"] for m in data_batches) == [3, 4]  # both batches reported
+    for m in data_batches:
+        assert m["min_event_ts"] <= m["max_event_ts"]
+        assert m["approx_convs"] >= 1
