@@ -423,7 +423,7 @@ def q_lpa_hierarchy(spark, sf_dir):
     (entity, level, community) over the structured parity graph."""
     from semstreams_spark.graph import lpa_hierarchy
 
-    return lpa_hierarchy(_parity_edges(spark, sf_dir), levels=2, max_iter=8)
+    return lpa_hierarchy(_parity_edges(spark, sf_dir), levels=3, max_iter=8)
 
 
 def q_json_filter_events(spark, sf_dir):
@@ -658,6 +658,65 @@ def q_graphrag_local(spark, sf_dir):
     return local_search(members, texts, "ent_001", GRAPHRAG_QUERY)
 
 
+def q_json_map_events(spark, sf_dir):
+    """P2 JSONMap (json_map.go:356-424): rename + uppercase + static add +
+    remove over the events table."""
+    from semstreams_spark.operators.transforms import json_map
+
+    e = _tbl(spark, sf_dir, "events")
+    return json_map(
+        e,
+        rename={"event_type": "etype"},
+        transforms={"etype": "uppercase"},
+        add_fields={"pipeline": "p1"},
+        remove_fields=["props"],
+    )
+
+
+QT_START, QT_END = "2025-01-01 01:00:00", "2025-01-01 03:00:00"
+
+
+def q_query_temporal(spark, sf_dir):
+    """Q temporal range scan (TEMPORAL_INDEX, manager.go:1284-1353)."""
+    from semstreams_spark.plans.api import GraphQueryAPI
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    api = GraphQueryAPI(nodes=None, edges=None, triples=triples)
+    return api.query_temporal(
+        F.lit(QT_START).cast("timestamp_ntz"), F.lit(QT_END).cast("timestamp_ntz")
+    )
+
+
+RELS_ENTITY = "test.local.graph.kb.entity.ent_001"
+
+
+def q_rels_in_entity(spark, sf_dir):
+    """Q reverse-edge lookup for one entity (INCOMING_INDEX,
+    indexes.go:405-508)."""
+    from semstreams_spark.plans.api import GraphQueryAPI
+
+    edges = edges_table(extract_triples(_transcripts(spark, sf_dir)))
+    api = GraphQueryAPI(nodes=None, edges=edges, triples=None)
+    return api.relationships_in(RELS_ENTITY)
+
+
+def q_rule_and_events(spark, sf_dir):
+    """R2/R4 multi-condition AND rule: role=assistant AND tool=calc on the
+    same subject; event ts = max over contributing predicates."""
+    from semstreams_spark.rules.engine import Condition, Rule
+
+    st = entity_states(extract_triples(_transcripts(spark, sf_dir)))
+    rule = Rule(
+        id="tool_role_calc",
+        logic="and",
+        conditions=(
+            Condition("conv.turn.role", "eq", "tool"),
+            Condition("conv.turn.tool", "eq", "calc"),
+        ),
+    )
+    return evaluate_rules(st, [rule])
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -729,6 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_entities": q_lpa_entities,
         "lpa_hierarchy": q_lpa_hierarchy,
         "json_filter_events": q_json_filter_events,
+        "json_map_events": q_json_map_events,
+        "query_temporal": q_query_temporal,
+        "rels_in_entity": q_rels_in_entity,
+        "rule_and_events": q_rule_and_events,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
@@ -829,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "paths_2hop": oracles.sql_paths_2hop(sf, max_paths=500),
         "pagerank_entities": oracles.sql_pagerank_entities(sf, max_iter=10, k=20),
         "lpa_entities": oracles.sql_lpa_entities(sf, max_iter=8),
-        "lpa_hierarchy": oracles.sql_lpa_hierarchy(sf, levels=2, max_iter=8),
+        "lpa_hierarchy": oracles.sql_lpa_hierarchy(sf, levels=3, max_iter=8),
         "graphrag_global": oracles.sql_graphrag_global(
             sf, GRAPHRAG_QUERY, max_iter=6, top_communities=3, k_terms=5
         ),
@@ -840,6 +903,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 80
               AND value > 50
         """,
+        "json_map_events": """
+            SELECT event_id, ts, user_id, upper(event_type) AS etype,
+                   value, 'p1' AS pipeline
+            FROM events
+        """,
+        "query_temporal": oracles.sql_query_temporal(sf, QT_START, QT_END),
+        "rels_in_entity": oracles.sql_rels_in(sf, RELS_ENTITY),
+        "rule_and_events": oracles.sql_rule_and_events(sf),
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),

@@ -1034,6 +1034,44 @@ FROM coords
 WHERE lat >= {min_lat} AND lat <= {max_lat} AND lon >= {min_lon} AND lon <= {max_lon}"""
 
 
+def sql_query_temporal(sf: float, start: str, end: str) -> str:
+    """Temporal range scan oracle — mirrors api.query_temporal."""
+    return f"""WITH {triples_cte(sf)}
+SELECT * FROM triples
+WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'"""
+
+
+def sql_rels_in(sf: float, entity_id: str) -> str:
+    """Reverse-edge lookup oracle — edges_table filtered on dst."""
+    return f"""WITH {triples_cte(sf)},
+rel AS (
+  SELECT subject AS src, object AS dst, {_EDGE_TYPE_SQL} AS edge_type, confidence, ts
+  FROM triples WHERE object_type = 'entity_ref'
+)
+SELECT src, dst, edge_type,
+       arg_max(confidence, ts) AS weight,
+       MIN(ts) AS created_at, MAX(ts) AS updated_at,
+       COUNT(*) AS n_obs
+FROM rel WHERE dst = '{entity_id}'
+GROUP BY src, dst, edge_type"""
+
+
+def sql_rule_and_events(sf: float) -> str:
+    """Multi-condition AND rule oracle: subjects matching BOTH conditions
+    over latest state, ts = greatest of the two contributing predicates."""
+    return f"""WITH {triples_cte(sf)},
+ranked AS (
+  SELECT subject, predicate, object, ts,
+         ROW_NUMBER() OVER (PARTITION BY subject, predicate ORDER BY ts DESC, seq DESC, object DESC) AS rn
+  FROM triples
+),
+st AS (SELECT subject, predicate, object, ts FROM ranked WHERE rn = 1),
+a AS (SELECT subject, ts FROM st WHERE predicate = 'conv.turn.role' AND object = 'tool'),
+b AS (SELECT subject, ts FROM st WHERE predicate = 'conv.turn.tool' AND object = 'calc')
+SELECT 'tool_role_calc' AS rule_id, a.subject AS entity_id, greatest(a.ts, b.ts) AS ts
+FROM a JOIN b USING (subject)"""
+
+
 def sql_incoming_top(sf: float, k: int = 20) -> str:
     """Top mention targets by incoming edge count (J5 reverse lookup)."""
     return f"""WITH {triples_cte(sf)}
