@@ -260,3 +260,47 @@ def test_observed_source_metrics_per_batch(spark, tmp_path):
     for m in data_batches:
         assert m["min_event_ts"] <= m["max_event_ts"]
         assert m["approx_convs"] >= 1
+
+
+def test_tws_matches_applyinpandaswithstate(spark, tmp_path):
+    """transformWithStateInPandas variant emits the exact same accepted
+    turns (dedup, prior links, versions) as the applyInPandasWithState
+    operator across micro-batches with redelivery.
+
+    The TWS runtime path needs google.protobuf (Spark's state-server
+    protocol), which is absent from this image — skipped here, runs on
+    any cluster with protobuf installed."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (absent from this runtime)",
+    )
+    from semstreams_spark.streaming.state_merge import accepted_turns
+    from semstreams_spark.streaming.state_merge_tws import accepted_turns_tws
+
+    indir = str(tmp_path / "in")
+    rows1 = _mk_rows("c1", 4, T0) + _mk_rows("c2", 2, T0, "ent_b")
+    rows2 = _mk_rows("c1", 6, T0)[2:]  # turns 2,3 redelivered + fresh 4,5
+    _write_file(indir, "f1.parquet", rows1)
+    _write_file(indir, "f2.parquet", rows2)
+
+    def run(fn, name):
+        out = str(tmp_path / f"out_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+        q = (
+            fn(stream, watermark="2 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = ["conv_id", "turn_idx", "prev_turn_idx", "version", "ts"]
+        return sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+
+    aip = run(accepted_turns, "aip")
+    tws = run(accepted_turns_tws, "tws")
+    assert len(tws) == 8  # 4 + 2 + 2 accepted, redelivery dropped
+    assert tws == aip
