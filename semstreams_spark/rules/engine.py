@@ -47,6 +47,9 @@ class Rule:
     logic: str = "or"  # reference default is OR (evaluator.go:53-60)
     enabled: bool = True
     cooldown_seconds: int = 0
+    # R3: NATS-style subject subscription pattern — the rule only sees
+    # entities whose id matches (message_handler.go:114-133); None = all
+    subject_pattern: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -103,16 +106,15 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
         # of fired rule ids and explode — N rules cost one pass over the
         # state table instead of N (the reference also evaluates all rules
         # per message in one loop, rule/message_handler.go:47-111)
-        fired = F.array(
-            *[
-                F.when(
-                    (F.col("predicate") == r.conditions[0].field)
-                    & _cond_expr(r.conditions[0], F.col("object")),
-                    F.lit(r.id),
-                )
-                for r in simple
-            ]
-        )
+        def _guard(r: Rule) -> Column:
+            c = (F.col("predicate") == r.conditions[0].field) & _cond_expr(
+                r.conditions[0], F.col("object")
+            )
+            if r.subject_pattern:
+                c = c & subject_pattern_filter(F.col("subject"), r.subject_pattern)
+            return c
+
+        fired = F.array(*[F.when(_guard(r), F.lit(r.id)) for r in simple])
         outs.append(
             entity_states.select(
                 F.col("subject").alias("entity_id"),
@@ -122,9 +124,14 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
         )
 
     for r in complex_:
+        scoped = entity_states
+        if r.subject_pattern:
+            scoped = scoped.filter(
+                subject_pattern_filter(F.col("subject"), r.subject_pattern)
+            )
         per_cond = []
         for c in r.conditions:
-            m = entity_states.filter(
+            m = scoped.filter(
                 (F.col("predicate") == c.field) & _cond_expr(c, F.col("object"))
             ).select(F.col("subject").alias("entity_id"), F.col("ts"))
             per_cond.append(m)

@@ -309,3 +309,35 @@ def test_edge_expiry_column_and_filter(spark):
     assert alive == {"s.b.c.d.e.2"}
     # tables without the column pass through untouched
     assert live_edges(e.drop("expires_at"), T).count() == 2
+
+
+def test_rule_subject_pattern_scoping(spark):
+    """R3 integrated: a rule with a subject_pattern only fires on matching
+    entity ids (both the single-pass and the AND join paths)."""
+    st = _states(
+        spark,
+        [
+            ("conv.a.turn.1", "m.cpu", "95", T0),
+            ("sys.b.node.1", "m.cpu", "95", T0),
+            ("conv.a.turn.2", "m.cpu", "95", T0),
+            ("conv.a.turn.2", "m.mem", "90", T0 + dt.timedelta(seconds=1)),
+        ],
+    )
+    scoped = Rule(
+        id="conv_hot",
+        conditions=(Condition("m.cpu", "gt", "90"),),
+        subject_pattern="conv.*.turn.>",
+    )
+    both = Rule(
+        id="conv_hot_and",
+        logic="and",
+        subject_pattern="conv.>",
+        conditions=(Condition("m.cpu", "gt", "90"), Condition("m.mem", "gt", "80")),
+    )
+    out = evaluate_rules(st, [scoped, both]).collect()
+    hits = {(r["rule_id"], r["entity_id"]) for r in out}
+    assert hits == {
+        ("conv_hot", "conv.a.turn.1"),
+        ("conv_hot", "conv.a.turn.2"),
+        ("conv_hot_and", "conv.a.turn.2"),
+    }
