@@ -717,6 +717,25 @@ def q_rule_and_events(spark, sf_dir):
     return evaluate_rules(st, [rule])
 
 
+SNAP_START, SNAP_END = "2025-01-01 00:00:00", "2025-01-01 02:30:00"
+
+
+def q_graph_snapshot(spark, sf_dir):
+    """Q GraphSnapshot (querymanager/query.go:276-346): bounded time-range
+    + type filter + MaxEntities truncation with flag."""
+    from semstreams_spark.plans.api import GraphQueryAPI
+
+    nodes = nodes_table(extract_triples(_transcripts(spark, sf_dir)))
+    api = GraphQueryAPI(nodes=nodes, edges=None, triples=None)
+    snap, truncated = api.snapshot(
+        start=F.lit(SNAP_START).cast("timestamp_ntz"),
+        end=F.lit(SNAP_END).cast("timestamp_ntz"),
+        entity_types=["turn"],
+        max_entities=1000,
+    )
+    return snap.withColumn("truncated", F.lit(truncated))
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -791,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_map_events": q_json_map_events,
         "query_temporal": q_query_temporal,
         "rels_in_entity": q_rels_in_entity,
+        "graph_snapshot": q_graph_snapshot,
         "rule_and_events": q_rule_and_events,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
@@ -910,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "query_temporal": oracles.sql_query_temporal(sf, QT_START, QT_END),
         "rels_in_entity": oracles.sql_rels_in(sf, RELS_ENTITY),
+        "graph_snapshot": oracles.sql_graph_snapshot(sf, SNAP_START, SNAP_END, 1000),
         "rule_and_events": oracles.sql_rule_and_events(sf),
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),

@@ -1072,6 +1072,25 @@ SELECT 'tool_role_calc' AS rule_id, a.subject AS entity_id, greatest(a.ts, b.ts)
 FROM a JOIN b USING (subject)"""
 
 
+def sql_graph_snapshot(sf: float, start: str, end: str, max_entities: int) -> str:
+    """GraphSnapshot oracle — mirrors api.snapshot: type + updated_at
+    bounds, id-ordered MaxEntities truncation, truncated flag."""
+    return f"""WITH {triples_cte(sf)},
+nodes AS (
+  SELECT subject AS id, split_part(subject, '.', 5) AS type, 'active' AS status,
+         COUNT(DISTINCT (ts, seq)) AS version, MAX(ts) AS updated_at
+  FROM triples GROUP BY subject
+),
+f AS MATERIALIZED (
+  SELECT * FROM nodes
+  WHERE type = 'turn'
+    AND updated_at >= TIMESTAMP '{start}' AND updated_at < TIMESTAMP '{end}'
+),
+tot AS (SELECT COUNT(*) AS c FROM f)
+SELECT id, type, status, version, updated_at, (tot.c > {max_entities}) AS truncated
+FROM f, tot ORDER BY id LIMIT {max_entities}"""
+
+
 def sql_incoming_top(sf: float, k: int = 20) -> str:
     """Top mention targets by incoming edge count (J5 reverse lookup)."""
     return f"""WITH {triples_cte(sf)}
