@@ -736,6 +736,41 @@ def q_graph_snapshot(spark, sf_dir):
     return snap.withColumn("truncated", F.lit(truncated))
 
 
+def q_context_flags(spark, sf_dir):
+    """R8 context flags (processor/context/processor.go:409-533): rules
+    evaluated over the 2-hop co-mention neighborhood of ent_005 —
+    entity-level states are (mention count, name)."""
+    from semstreams_spark.rules.context_flags import context_flags_df
+    from semstreams_spark.rules.engine import Condition, Rule
+
+    edges = _entity_edges(spark, sf_dir).withColumn("edge_type", F.lit("comention"))
+    men = extract_triples(_transcripts(spark, sf_dir)).filter(
+        F.col("predicate") == "conv.turn.mentions"
+    ).select(F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"), "ts")
+    states = men.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("ts")
+    ).select(
+        F.col("entity").alias("subject"),
+        F.lit("entity.mentions").alias("predicate"),
+        F.col("n").cast("string").alias("object"),
+        "ts",
+    ).unionByName(
+        men.groupBy("entity").agg(F.max("ts").alias("ts")).select(
+            F.col("entity").alias("subject"),
+            F.lit("entity.name").alias("predicate"),
+            F.col("entity").alias("object"),
+            "ts",
+        )
+    )
+    rules = [
+        Rule(id="hub_nearby", conditions=(Condition("entity.mentions", "gt", "2000"),)),
+        # deliberately unsatisfiable: proves the false-flag path end-to-end
+        Rule(id="mega_hub", conditions=(Condition("entity.mentions", "gt", "1000000000"),)),
+        Rule(id="ghost_nearby", conditions=(Condition("entity.name", "starts_with", "ghost_"),)),
+    ]
+    return context_flags_df(edges, states, "ent_005", rules, max_depth=2)
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -812,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rels_in_entity": q_rels_in_entity,
         "graph_snapshot": q_graph_snapshot,
         "rule_and_events": q_rule_and_events,
+        "context_flags": q_context_flags,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
@@ -932,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "rels_in_entity": oracles.sql_rels_in(sf, RELS_ENTITY),
         "graph_snapshot": oracles.sql_graph_snapshot(sf, SNAP_START, SNAP_END, 1000),
         "rule_and_events": oracles.sql_rule_and_events(sf),
+        "context_flags": oracles.sql_context_flags(sf, "ent_005", 2000),
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),

@@ -1072,6 +1072,38 @@ SELECT 'tool_role_calc' AS rule_id, a.subject AS entity_id, greatest(a.ts, b.ts)
 FROM a JOIN b USING (subject)"""
 
 
+def sql_context_flags(sf: float, start: str = "ent_005", hub_threshold: int = 2000) -> str:
+    """Context-flags oracle (R8): 2-hop neighborhood of `start` over the
+    co-mention entity graph; flags = any neighbor matching each rule
+    (mention count > threshold with numeric coercion; name starts_with
+    ghost) — mirrors q_context_flags."""
+    return f"""WITH {triples_cte(sf)},{_ENTITY_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+d1 AS (SELECT DISTINCT dst AS entity FROM und WHERE src = '{start}'),
+d2 AS (
+  SELECT DISTINCT u.dst AS entity
+  FROM und u JOIN d1 ON u.src = d1.entity
+  WHERE u.dst <> '{start}' AND u.dst NOT IN (SELECT entity FROM d1)
+),
+hood AS MATERIALIZED (
+  SELECT '{start}' AS entity UNION SELECT entity FROM d1 UNION SELECT entity FROM d2
+),
+mc AS (
+  SELECT str_split(object, '.')[-1] AS entity, COUNT(*) AS n
+  FROM triples WHERE predicate = 'conv.turn.mentions' GROUP BY 1
+)
+SELECT 'hub_nearby' AS rule_id,
+       EXISTS (SELECT 1 FROM mc JOIN hood USING (entity)
+               WHERE TRY_CAST(CAST(n AS VARCHAR) AS DOUBLE) > {hub_threshold}) AS flag
+UNION ALL
+SELECT 'mega_hub',
+       EXISTS (SELECT 1 FROM mc JOIN hood USING (entity)
+               WHERE TRY_CAST(CAST(n AS VARCHAR) AS DOUBLE) > 1000000000)
+UNION ALL
+SELECT 'ghost_nearby',
+       EXISTS (SELECT 1 FROM hood WHERE starts_with(entity, 'ghost_'))"""
+
+
 def sql_graph_snapshot(sf: float, start: str, end: str, max_entities: int) -> str:
     """GraphSnapshot oracle — mirrors api.snapshot: type + updated_at
     bounds, id-ordered MaxEntities truncation, truncated flag."""

@@ -44,3 +44,34 @@ def context_flags(
         for r in evaluate_rules(local_states, rules).select("rule_id").distinct().collect()
     }
     return {rule.id: rule.id in fired for rule in rules if rule.enabled}
+
+
+def context_flags_df(
+    edges: DataFrame,
+    entity_states: DataFrame,
+    start_entity: str,
+    rules: list[Rule],
+    max_depth: int = 2,
+    edge_filter: list[str] | None = None,
+) -> DataFrame:
+    """Set-oriented form of ``context_flags``: one (rule_id, flag) row per
+    enabled rule — flag true iff ANY entity in the bounded neighborhood
+    matches. This is the gateable/compose-able shape (the dict form above
+    is the NATS point-reply shape)."""
+    spark = edges.sparkSession
+    hood = bounded_traversal(
+        edges, start_entity, max_depth=max_depth, edge_filter=edge_filter
+    ).select(F.col("entity").alias("subject"))
+    local_states = entity_states.join(F.broadcast(hood), "subject", "left_semi")
+    fired = (
+        evaluate_rules(local_states, rules)
+        .select("rule_id")
+        .distinct()
+        .withColumn("flag", F.lit(True))
+    )
+    all_rules = spark.createDataFrame(
+        [(r.id,) for r in rules if r.enabled], "rule_id string"
+    )
+    return all_rules.join(fired, "rule_id", "left").select(
+        "rule_id", F.coalesce(F.col("flag"), F.lit(False)).alias("flag")
+    )
