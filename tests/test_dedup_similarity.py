@@ -317,3 +317,32 @@ def test_ivf_topk_finds_near_copy(spark):
     sub = ann_topk_ivf(emb, q, k=3, n_cells=8, n_probe=2).collect()
     # probing 2/8 cells scans a subset; results are a subset of the corpus
     assert len(sub) == 3
+
+
+def test_embedder_content_hash_dedup(spark):
+    """G8: duplicated texts embed once (content-addressed) and share an
+    identical vector; distinct texts differ."""
+    from semstreams_spark.search.embedder import embed_entities_deduped, embed_texts
+
+    texts = spark.createDataFrame(
+        [("e1", "alpha beta gamma"), ("e2", "alpha beta gamma"), ("e3", "delta epsilon")],
+        "entity string, text string",
+    )
+    out = {r["entity"]: tuple(r["embedding"]) for r in embed_entities_deduped(texts).collect()}
+    assert out["e1"] == out["e2"] != out["e3"]
+    # the dedup path equals the direct per-entity embedding
+    direct = {r["entity"]: tuple(r["embedding"]) for r in
+              embed_texts(texts, id_col="entity").collect()}
+    assert out == direct
+    # unit norm
+    import math
+    assert abs(sum(x * x for x in out["e1"]) - 1.0) < 1e-12
+
+
+def test_embed_text_py_mirrors_spark(spark):
+    from semstreams_spark.search.embedder import embed_text_py, embed_texts
+
+    t = "graph stream window alpha"
+    df = spark.createDataFrame([("q", t)], "id string, text string")
+    spark_vec = embed_texts(df, id_col="id").collect()[0]["embedding"]
+    assert list(spark_vec) == embed_text_py(t)
