@@ -64,3 +64,16 @@ def test_text_parity_under_stable_order(transcripts_small):
         .select("i.conv_id", "i.turn_idx", "i.text", F.col("t.object").alias("extracted"))
     )
     assert joined.filter(F.col("extracted").isNull() | (F.col("extracted") != F.col("text"))).count() == 0
+
+
+def test_datagen_bit_reproducible():
+    """FIXTURES contract: regeneration from the seed reproduces the input
+    byte-for-byte (deleting data/transcripts and re-running is safe)."""
+    from semstreams_spark.datagen.transcripts import generate_transcripts
+
+    t1, a1 = generate_transcripts(0.001)
+    t2, a2 = generate_transcripts(0.001)
+    assert t1.equals(t2) and a1.equals(a2)
+    # and it actually varies with the seed (not a constant table)
+    t3, _ = generate_transcripts(0.001, seed=43)
+    assert not t1.equals(t3)
