@@ -771,6 +771,27 @@ def q_context_flags(spark, sf_dir):
     return context_flags_df(edges, states, "ent_005", rules, max_depth=2)
 
 
+def q_salted_conv_stats(spark, sf_dir):
+    """J7 skew handling as a gated result: two-phase salted aggregation
+    (partial per (conv, salt), final per conv) over the transcript stream —
+    the oracle computes the plain per-conv aggregate, proving the salted
+    plan is result-identical while its first shuffle splits hot
+    conversations across n_salts tasks."""
+    from semstreams_spark.operators.joins import salt_conv_key
+
+    t = salt_conv_key(_transcripts(spark, sf_dir), n_salts=8)
+    partial = t.groupBy("conv_id", "conv_salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.max("ts").alias("mx"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("chars").alias("n_chars"),
+        F.max("mx").alias("last_ts"),
+    )
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -848,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_snapshot": q_graph_snapshot,
         "rule_and_events": q_rule_and_events,
         "context_flags": q_context_flags,
+        "salted_conv_stats": q_salted_conv_stats,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
@@ -969,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_snapshot": oracles.sql_graph_snapshot(sf, SNAP_START, SNAP_END, 1000),
         "rule_and_events": oracles.sql_rule_and_events(sf),
         "context_flags": oracles.sql_context_flags(sf, "ent_005", 2000),
+        "salted_conv_stats": oracles.sql_salted_conv_stats(sf),
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),

@@ -1072,6 +1072,17 @@ SELECT 'tool_role_calc' AS rule_id, a.subject AS entity_id, greatest(a.ts, b.ts)
 FROM a JOIN b USING (subject)"""
 
 
+def sql_salted_conv_stats(sf: float) -> str:
+    """Plain per-conversation aggregate — the salted two-phase plan in
+    q_salted_conv_stats must be result-identical (salting only reshapes
+    the shuffle, never the answer)."""
+    return f"""SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       MAX(ts) AS last_ts
+FROM {transcripts_rel(sf)} GROUP BY conv_id"""
+
+
 def sql_context_flags(sf: float, start: str = "ent_005", hub_threshold: int = 2000) -> str:
     """Context-flags oracle (R8): 2-hop neighborhood of `start` over the
     co-mention entity graph; flags = any neighbor matching each rule
