@@ -792,6 +792,31 @@ def q_salted_conv_stats(spark, sf_dir):
     )
 
 
+def q_tool_interval_join(spark, sf_dir):
+    """J4 interval-join shape (batch analogue of the watermarked
+    stream-stream join, streaming/joins.py): each tool turn joined to
+    every non-tool turn of the same conversation within the preceding
+    60 s — equi-join on conv_id plus a range predicate (no cartesian)."""
+    t = _transcripts(spark, sf_dir)
+    tools = t.filter(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool", "ts"
+    )
+    reqs = t.filter(F.col("role") != "tool").select(
+        F.col("conv_id").alias("r_conv"),
+        F.col("turn_idx").alias("req_turn_idx"),
+        F.col("ts").alias("req_ts"),
+    )
+    return (
+        tools.join(
+            reqs,
+            (tools["conv_id"] == reqs["r_conv"])
+            & (reqs["req_ts"] <= tools["ts"])
+            & (reqs["req_ts"] > tools["ts"] - F.expr("INTERVAL 60 SECOND")),
+        )
+        .select("conv_id", "turn_idx", "tool", "ts", "req_turn_idx", "req_ts")
+    )
+
+
 def q_incoming_top(spark, sf_dir):
     """J5 reverse-edge lookup: top-20 mention targets by incoming edge
     count (deterministic tie-break)."""
@@ -870,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_and_events": q_rule_and_events,
         "context_flags": q_context_flags,
         "salted_conv_stats": q_salted_conv_stats,
+        "tool_interval_join": q_tool_interval_join,
         "top_terms": q_top_terms,
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
@@ -992,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "rule_and_events": oracles.sql_rule_and_events(sf),
         "context_flags": oracles.sql_context_flags(sf, "ent_005", 2000),
         "salted_conv_stats": oracles.sql_salted_conv_stats(sf),
+        "tool_interval_join": oracles.sql_tool_interval_join(sf),
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),

@@ -1072,6 +1072,20 @@ SELECT 'tool_role_calc' AS rule_id, a.subject AS entity_id, greatest(a.ts, b.ts)
 FROM a JOIN b USING (subject)"""
 
 
+def sql_tool_interval_join(sf: float, window_s: int = 60) -> str:
+    """Interval-join oracle — tool turns joined to same-conv non-tool
+    turns within the preceding window."""
+    rel = transcripts_rel(sf)
+    return f"""WITH t AS (SELECT * FROM {rel}),
+tools AS (SELECT conv_id, turn_idx, tool, ts FROM t WHERE role = 'tool'),
+reqs AS (SELECT conv_id, turn_idx AS req_turn_idx, ts AS req_ts FROM t WHERE role <> 'tool')
+SELECT tools.conv_id, tools.turn_idx, tools.tool, tools.ts, reqs.req_turn_idx, reqs.req_ts
+FROM tools JOIN reqs
+  ON tools.conv_id = reqs.conv_id
+ AND reqs.req_ts <= tools.ts
+ AND reqs.req_ts > tools.ts - INTERVAL {window_s} SECOND"""
+
+
 def sql_salted_conv_stats(sf: float) -> str:
     """Plain per-conversation aggregate — the salted two-phase plan in
     q_salted_conv_stats must be result-identical (salting only reshapes
