@@ -701,7 +701,7 @@ def q_rels_in_entity(spark, sf_dir):
 
 
 def q_rule_and_events(spark, sf_dir):
-    """R2/R4 multi-condition AND rule: role=assistant AND tool=calc on the
+    """R2/R4 multi-condition AND rule: role=tool AND tool=calc on the
     same subject; event ts = max over contributing predicates."""
     from semstreams_spark.rules.engine import Condition, Rule
 
@@ -852,6 +852,19 @@ def q_metrics_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per load-bearing operator gate.
+
+    The driver correctness harness records the FIRST 50 queries, so the
+    registry is kept at ≤50 by consolidating redundant gates (still
+    implemented + pytest-covered, callable above, just not registered):
+    - text_quality ⊂ doc_quality (same quality_features surface)
+    - path_2hop ⊂ paths_2hop (path enumeration subsumes score traversal)
+    - embedding_sim_pairs: exact all-pairs cross-check of the gated
+      bucketed path (embedding_neardup_lsh)
+    - lpa_entities ⊂ lpa_hierarchy (level 0 IS lpa_communities)
+    - top_customers / events_hourly: generic join-agg / hourly-agg shapes
+      already gated via q1_pricing, metrics_rollup, degree_tumbling
+    """
     return {
         "triples_extract": q_triples_extract,
         "entity_states": q_entity_states,
@@ -865,11 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_5min": q_cooccur_5min,
         "rule_events": q_rule_events,
         "q1_pricing": q_q1_pricing,
-        "top_customers": q_top_customers,
         "parts_no_sales": q_parts_no_sales,
-        "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -881,11 +891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
-        "path_2hop": q_path_2hop,
         "paths_2hop": q_paths_2hop,
         "sliding_degree": q_sliding_degree,
         "pagerank_entities": q_pagerank_entities,
-        "lpa_entities": q_lpa_entities,
         "lpa_hierarchy": q_lpa_hierarchy,
         "json_filter_events": q_json_filter_events,
         "json_map_events": q_json_map_events,
@@ -900,7 +908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_cooldown": q_alert_cooldown,
         "graphrag_global": q_graphrag_global,
         "graphrag_local": q_graphrag_local,
-        "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "entity_delete": q_entity_delete,
         "spatial_bbox": q_spatial_bbox,
@@ -939,37 +946,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "top_customers": """
-            SELECT c_custkey, c_name,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
-                   COUNT(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey, c_name
-            ORDER BY total_spent DESC, c_custkey ASC
-            LIMIT 10
-        """,
         "parts_no_sales": """
             SELECT p_partkey, p_name, p_brand FROM part
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-        """,
-        "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
-                   COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1
-        """,
-        "text_quality": """
-            SELECT doc_id,
-                   len(str_split(text, ' ')) AS n_tokens,
-                   length(text) AS n_chars,
-                   CAST(length(text) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-                   CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
-            FROM documents
         """,
         "text_lang_id": oracles.sql_text_lang_id(),
         "doc_fingerprint": oracles.sql_doc_fingerprint(),
@@ -977,9 +961,6 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracles.sql_jaccard_pairs(0.5),
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(14),
-        "embedding_sim_pairs": oracles.sql_embedding_sim_pairs(
-            dim=len(_query_vec(f"/root/testdata/sf{sf:g}")), threshold=0.4
-        ),
         "embedding_neardup_lsh": oracles.sql_embedding_neardup_lsh(
             threshold=0.95, n_planes=16, dim=64
         ),
@@ -992,10 +973,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
-        "path_2hop": oracles.sql_path_2hop(sf),
         "paths_2hop": oracles.sql_paths_2hop(sf, max_paths=500),
         "pagerank_entities": oracles.sql_pagerank_entities(sf, max_iter=10, k=20),
-        "lpa_entities": oracles.sql_lpa_entities(sf, max_iter=8),
         "lpa_hierarchy": oracles.sql_lpa_hierarchy(sf, levels=3, max_iter=8),
         "graphrag_global": oracles.sql_graphrag_global(
             sf, GRAPHRAG_QUERY, max_iter=6, top_communities=3, k_terms=5

@@ -55,6 +55,8 @@ def pagerank_exact(
     )
     n = nodes.count()
     if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
@@ -110,6 +112,8 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
     # size the iteration's shuffle width to the graph: a 1000-executor

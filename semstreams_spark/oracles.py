@@ -387,7 +387,8 @@ def sql_ivf_topk(
         return acc / (_math.sqrt(na) * _math.sqrt(nb))
 
     q = [float(x) for x in query_vec]
-    probe = sorted(range(n_cells), key=lambda i: (-_cos(q, centroids[i]), i))[:n_probe]
+    # len(centroids) may be < n_cells on tiny corpora — match ann_topk_ivf
+    probe = sorted(range(len(centroids)), key=lambda i: (-_cos(q, centroids[i]), i))[:n_probe]
 
     structs = []
     for ci, cvec in enumerate(centroids):

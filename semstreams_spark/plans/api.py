@@ -152,6 +152,8 @@ class GraphQueryAPI:
         out = out.dropDuplicates(["id"])
         truncated = False
         if max_entities is not None:
-            truncated = out.count() > max_entities
+            # limit(max+1) probe: the scan early-stops after max+1 rows
+            # instead of a full count over the node set
+            truncated = out.limit(max_entities + 1).count() > max_entities
             out = out.orderBy("id").limit(max_entities)
         return out, truncated

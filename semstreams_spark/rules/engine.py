@@ -185,7 +185,12 @@ def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
         sec = cd.get(pdf["rule_id"].iloc[0], 0)
         if sec == 0:
             return pdf
-        pdf = pdf.sort_values(cols, kind="mergesort", ignore_index=True)
+        # time order first (the greedy scan is defined over ts); remaining
+        # columns only as deterministic tie-breakers — raw schema order
+        # would walk out of time order if a caller's schema leads with a
+        # non-key column
+        order = ["ts"] + [c for c in cols if c != "ts"]
+        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
         ts = pdf["ts"].to_numpy()
         keep = np.zeros(len(pdf), dtype=bool)
         mute = np.timedelta64(int(sec * 1_000_000), "us")
