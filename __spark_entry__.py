@@ -501,24 +501,122 @@ def _mention_context_texts(triples):
     )
 
 
+# Planted near-dup cosine levels: just-above-threshold, mid, high — the
+# banded LSH must recover pairs near the 0.95 threshold, not only trivial
+# ≈0.999 dups (the round-2 single-band gate's weakness).
+PLANT_COS = (0.9501, 0.9601, 0.9801)
+# 8 = lsh_band_params(0.95, target_recall=0.995, rows_per_band=6); r=6
+# keeps the gate corpus well-bucketed (64 buckets/band over ~550 vectors)
+NEARDUP_BANDS, NEARDUP_ROWS = 8, 6
+
+
+def planted_neardup_corpus(e):
+    """Base embeddings ∪ exact-rotation plants: every 10th vector v gets a
+    companion v' = cos_t·v̂ + sin_t·û at vec_id+1000000 — û is the unit
+    Gram-Schmidt residual of roll(v) (the vector's own components shifted
+    by one) against v̂, so cos(v, v') == cos_t EXACTLY (up to one float
+    rounding), with cos_t cycling through PLANT_COS by (vec_id div 10) % 3.
+
+    The perturbation direction must VARY per vector: a fixed direction
+    (e.g. e1) makes every plant's rotation correlated with the same few
+    hyperplanes, collapsing the per-plane collision probability well below
+    the 1 − θ/π model for those planes (measured: 0.826 vs 0.910 at the
+    0.9601 level) — roll(v) is pseudo-random per vector, restoring the
+    independence the banding math assumes. All arithmetic is
+    sequential-fold / per-element, mirrored verbatim in the DuckDB oracle."""
+    import math as _math
+
+    from semstreams_spark.operators.similarity import norm_expr
+
+    lvl = F.expr("vec_id div 10") % 3
+    ct = F.when(lvl == 0, F.lit(PLANT_COS[0])).when(lvl == 1, F.lit(PLANT_COS[1])).otherwise(
+        F.lit(PLANT_COS[2])
+    )
+    st = (
+        F.when(lvl == 0, F.lit(_math.sqrt(1.0 - PLANT_COS[0] ** 2)))
+        .when(lvl == 1, F.lit(_math.sqrt(1.0 - PLANT_COS[1] ** 2)))
+        .otherwise(F.lit(_math.sqrt(1.0 - PLANT_COS[2] ** 2)))
+    )
+    emb = F.col("embedding")
+    # Staged selects, one derived column per stage: inlining everything in
+    # one projection nests folds-over-folds (w inside nw inside every
+    # output element) into a 10^5+-node expression tree that the optimizer
+    # chews on for minutes; with stages, CollapseProject's expensive-
+    # expression guard keeps each alias expanded at most once. (The DuckDB
+    # oracle stages identically via MATERIALIZED CTEs.) NB the id shift
+    # happens in the FINAL select only — aliasing vec_id+1000000 AS vec_id
+    # earlier would capture the shifted id in ct/st via lateral column
+    # alias resolution.
+    g1 = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "embedding",
+        norm_expr(emb).alias("nv"),
+        ct.alias("ct"),
+        st.alias("st"),
+    )
+    # u0 = roll(v) by one component (1-based: j -> (j % 64) + 1)
+    rolled = F.transform(
+        emb, lambda x, i: F.element_at(emb, ((i + F.lit(1)) % F.lit(64)) + F.lit(1)).cast("double")
+    )
+    # Gram-Schmidt: w = u0 - (u0·v̂)·v̂, û = w/||w||
+    nv = F.col("nv")
+    g2 = g1.select(
+        "vec_id",
+        "embedding",
+        "nv",
+        "ct",
+        "st",
+        F.aggregate(
+            F.zip_with(rolled, emb, lambda a, b: a * (b.cast("double") / nv)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    g3 = g2.select(
+        "vec_id",
+        "embedding",
+        "nv",
+        "ct",
+        "st",
+        F.zip_with(rolled, emb, lambda a, b: a - F.col("s") * (b.cast("double") / nv)).alias("w"),
+    )
+    g4 = g3.select(
+        "vec_id",
+        "embedding",
+        "nv",
+        "ct",
+        "st",
+        "w",
+        F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nw"),
+    )
+    planted = g4.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            emb,
+            F.col("w"),
+            lambda b, a: (
+                F.col("ct") * (b.cast("double") / nv) + F.col("st") * (a / F.col("nw"))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return e.unionByName(planted)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """The 100 TB embedding-dedup path itself (bucketed hyperplane LSH +
-    exact verify, dedup.embedding_near_dups), gated over a corpus with
-    deterministic planted near-dups — every 10th vector re-added with the
-    first component bumped 0.05 (cosine ≈ 0.9988 > 0.95). The all-pairs
-    q_embedding_sim_pairs stays as a cross-check of the exact form."""
+    """The 100 TB embedding-dedup path itself: BANDED hyperplane LSH
+    (b=8 bands × r=6 planes, b derived from threshold 0.95 at recall
+    target 0.995 via lsh_band_params) + exact-cosine verify, gated over a
+    corpus with exact-rotation plants at cos ∈ {0.9501, 0.9601, 0.9801} —
+    at/near-threshold pairs, where the round-2 single-band signature had
+    ≈18-34% recall. Full-recovery assertion: tests/test_dedup_similarity
+    .py::test_banded_neardup_recovers_all_plants."""
     from semstreams_spark.operators.dedup import embedding_near_dups
 
     e = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = e.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
-            F.slice("embedding", 2, 63),
-        ).alias("embedding"),
+    corpus = planted_neardup_corpus(e)
+    pairs = embedding_near_dups(
+        corpus, threshold=0.95, bands=NEARDUP_BANDS, rows_per_band=NEARDUP_ROWS
     )
-    corpus = e.unionByName(planted)
-    pairs = embedding_near_dups(corpus, threshold=0.95, n_planes=16)
     return pairs.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -962,7 +1060,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(14),
         "embedding_neardup_lsh": oracles.sql_embedding_neardup_lsh(
-            threshold=0.95, n_planes=16, dim=64
+            threshold=0.95, bands=NEARDUP_BANDS, rows_per_band=NEARDUP_ROWS,
+            dim=64, plant_cos=PLANT_COS,
         ),
         "cosine_topk": oracles.sql_cosine_topk(
             _query_vec(f"/root/testdata/sf{sf:g}"), k=10, exclude_id=0

@@ -270,26 +270,74 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    bands: int | None = None,
+    rows_per_band: int = 10,
+    target_recall: float = 0.95,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
-    exact cosine verify. Hyperplanes are deterministic (hash-derived), so
-    results are reproducible without a stored model."""
-    from .similarity import cosine_sim_expr, hyperplane_signature
+    """Embedding-cosine near-dup pairs via BANDED random-hyperplane LSH
+    (OR-of-ANDs) + exact cosine verify — the same banding shape as
+    minhash_lsh_candidates, applied to the hyperplane family.
 
+    Why banded: one monolithic n-plane signature recalls a pair at cosine
+    c with probability (1 − acos(c)/π)^n — ≈18% at c=0.95 for n=16 — and
+    its bucket count is fixed at 2^n regardless of corpus size, so bucket
+    population (and the verify join's fan-out) grows ∝ N/2^n. Banding
+    decouples the two: r (rows_per_band) sizes buckets (2^r per band;
+    pick r ≈ log2(N / target bucket size) at scale), and b is DERIVED
+    from the recall target via lsh_band_params — recall 1 − (1 − p^r)^b
+    ≥ target_recall for pairs at-threshold, ~0.97 at the (8, 10) default
+    for threshold 0.95. Candidates are deduped before the exact verify,
+    so multi-band collisions cost one cosine each.
+
+    ``max_bucket_size`` is the hot-bucket guard for adversarial corpora
+    (e.g. a giant cluster of identical spam vectors): buckets larger than
+    the cap are excluded from candidate generation — true dup CLUSTERS
+    that big are still recovered transitively through their other bands
+    or an exact-dedup pre-pass; leave None for the exact oracle form.
+
+    Hyperplanes are deterministic (hash-derived), so results are
+    reproducible without a stored model (exact DuckDB oracle:
+    oracles.sql_embedding_neardup_lsh). Reference semantics anchor:
+    EMBEDDING_INDEX near-dup intent (indexmanager/config.go:185-217)."""
+    from .similarity import banded_hyperplane_signatures, cosine_sim_expr, lsh_band_params
+
+    if bands is None:
+        bands = lsh_band_params(threshold, target_recall, rows_per_band)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    sig = e.withColumn("bucket", hyperplane_signature(F.col("v"), n_planes))
+    sig = e.select(
+        "vec_id",
+        F.explode(banded_hyperplane_signatures(F.col("v"), bands, rows_per_band, dim)).alias("bs"),
+    ).select("vec_id", "bs.band", "bs.sig")
+    if max_bucket_size is not None:
+        ok = (
+            sig.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        sig = sig.join(ok, ["band", "sig"], "left_semi")
     l, r = sig.alias("l"), sig.alias("r")
-    return (
+    cand = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            cosine_sim_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            cosine_sim_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

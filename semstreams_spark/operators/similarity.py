@@ -62,11 +62,43 @@ def cosine_topk(
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
-    """Deterministic pseudo-random unit hyperplane: sin-hash sequence
-    (reproducible everywhere, no RNG state)."""
-    vals = [math.sin(0.7548776662 * (plane_idx * dim + j) + 0.1) for j in range(dim)]
+    """Deterministic pseudo-random unit hyperplane: md5-seeded Gaussian
+    components (Box-Muller), normalized. Computed driver-side and folded
+    into both the Spark plan and the DuckDB oracle as literals, so no
+    cross-engine math is involved — only reproducibility matters.
+
+    Gaussian components make the plane normals uniform on the sphere,
+    which the 1 − θ/π collision model requires. (The earlier sin-sequence
+    family h[j] = sin(ω·(i·dim+j)) was near rank-2 — every plane a phase
+    shift of one sampled sinusoid, i.e. a combination of the fixed
+    sin(ωj)/cos(ωj) vectors — so planes were strongly correlated and
+    banded recall collapsed for unlucky pair directions.)"""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"hp:{plane_idx}:{j}".encode()).digest()
+        u1 = (int.from_bytes(h[:8], "big") + 1) / 2.0**64  # (0, 1]
+        u2 = int.from_bytes(h[8:], "big") / 2.0**64  # [0, 1)
+        vals.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
     n = math.sqrt(sum(v * v for v in vals))
     return [v / n for v in vals]
+
+
+def _plane_dot(vec: Column, plane_idx: int, dim: int) -> Column:
+    """Sequential-fold dot product of the vector's leading `dim`
+    components with deterministic hyperplane `plane_idx` (fp-identical to
+    the DuckDB mirror in oracles._bucket_sql)."""
+    h = _hyperplane(dim, plane_idx)
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, 1, dim),
+            F.array(*[F.lit(v) for v in h]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
@@ -77,18 +109,61 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
     rerank fixes the rest)."""
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
-        h = _hyperplane(dim, i)
-        d = F.aggregate(
-            F.zip_with(
-                F.slice(vec, 1, dim),
-                F.array(*[F.lit(v) for v in h]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = _plane_dot(vec, i, dim)
         sig = sig.bitwiseOR(F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i))
     return sig
+
+
+def lsh_band_params(
+    threshold: float, target_recall: float = 0.95, rows_per_band: int = 10, max_bands: int = 64
+) -> int:
+    """Minimal band count b such that OR-of-ANDs banded hyperplane LSH
+    recalls a pair at cosine == threshold with probability ≥ target_recall.
+
+    Per-plane collision for a pair at angle θ is p = 1 − θ/π (random
+    hyperplane LSH); a band of r planes collides with p^r; b independent
+    bands recall 1 − (1 − p^r)^b. Solved by the smallest b meeting the
+    target — derive (b, r) from the threshold instead of hand-picking."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    pr = p**rows_per_band
+    if pr <= 0.0:
+        raise ValueError("rows_per_band too large for this threshold")
+    b = 1
+    while 1.0 - (1.0 - pr) ** b < target_recall:
+        b += 1
+        if b > max_bands:
+            raise ValueError(
+                f"no b ≤ {max_bands} reaches recall {target_recall} at r={rows_per_band}"
+            )
+    return b
+
+
+def banded_recall(threshold: float, bands: int, rows_per_band: int) -> float:
+    """Analytic recall of banded hyperplane LSH for a pair at exactly
+    `threshold` cosine: 1 − (1 − p^r)^b with p = 1 − acos(threshold)/π."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    return 1.0 - (1.0 - p**rows_per_band) ** bands
+
+
+def banded_hyperplane_signatures(
+    vec: Column, bands: int, rows_per_band: int, dim: int = 64
+) -> Column:
+    """array<struct<band:int, sig:long>> — band i's signature packs the
+    sign bits of planes [i·r, (i+1)·r). The (band, sig) pair is the LSH
+    bucket key: equal in ANY band → candidate (OR-of-ANDs). Buckets per
+    band = 2^r, so r sizes bucket population (r ≈ log2(N / target bucket
+    size) at scale) and b is derived from the recall target
+    (lsh_band_params)."""
+    entries = []
+    for bidx in range(bands):
+        sig = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            d = _plane_dot(vec, bidx * rows_per_band + j, dim)
+            sig = sig.bitwiseOR(
+                F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+            )
+        entries.append(F.struct(F.lit(bidx).alias("band"), sig.alias("sig")))
+    return F.array(*entries)
 
 
 def assign_ivf_cells(

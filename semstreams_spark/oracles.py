@@ -304,14 +304,16 @@ def _fold_sum(items_expr: str) -> str:
     return f"list_reduce({items_expr}, (a, b) -> a + b)"
 
 
-def _bucket_sql(col: str, n_planes: int, dim: int = 64) -> str:
+def _bucket_sql(col: str, n_planes: int, dim: int = 64, start: int = 0) -> str:
     """Hyperplane sign-bit bucket — mirrors similarity.hyperplane_signature
-    with sequential folds so the sign bits are fp-identical across engines."""
+    with sequential folds so the sign bits are fp-identical across engines.
+    `start` offsets the plane family (band i of the banded form uses
+    planes [i*r, (i+1)*r) with bit positions 0..r-1)."""
     from .operators.similarity import _hyperplane
 
     bits = []
     for i in range(n_planes):
-        h = _hyperplane(dim, i)
+        h = _hyperplane(dim, start + i)
         hlit = "[" + ", ".join(repr(v) for v in h) + "]::DOUBLE[]"
         dot = _fold_sum(f"list_transform(range(1, {dim + 1}), j -> {col}[j]::DOUBLE * ({hlit})[j])")
         bits.append(f"(CASE WHEN {dot} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})")
@@ -420,32 +422,84 @@ FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
 def sql_embedding_neardup_lsh(
-    threshold: float = 0.95, n_planes: int = 16, dim: int = 64, plant_delta: float = 0.05
+    threshold: float = 0.95,
+    bands: int = 8,
+    rows_per_band: int = 6,
+    dim: int = 64,
+    plant_cos: tuple[float, ...] = (0.9501, 0.9601, 0.9801),
 ) -> str:
-    """Bucketed hyperplane-LSH embedding near-dup oracle — mirrors
-    dedup.embedding_near_dups over a corpus with deterministic planted
-    near-dups (every 10th vector re-added with vec_id+1000000 and the
-    first component bumped by plant_delta): bucket equi-join + exact
-    cosine verify, never all-pairs."""
-    bucket = _bucket_sql("embedding", n_planes, dim)
+    """BANDED hyperplane-LSH embedding near-dup oracle — mirrors
+    dedup.embedding_near_dups (b bands × r planes, OR-of-ANDs) over a
+    corpus with exact-rotation plants: every 10th vector v re-added at
+    vec_id+1000000 as v' = ct·v̂ + st·û (û = unit Gram-Schmidt residual
+    of roll(v) against v̂ — a per-vector pseudo-random direction, see
+    __spark_entry__.planted_neardup_corpus), ct cycling plant_cos by
+    (vec_id//10) % 3 — so cos(v, v') == ct exactly (up to one float
+    rounding). Candidates = pairs sharing ANY band signature, then exact
+    cosine verify."""
+    import math as _math
+
+    ct = (
+        "CASE (vec_id // 10) % 3 "
+        + " ".join(f"WHEN {i} THEN {repr(float(c))}" for i, c in enumerate(plant_cos[:2]))
+        + f" ELSE {repr(float(plant_cos[2]))} END"
+    )
+    st = (
+        "CASE (vec_id // 10) % 3 "
+        + " ".join(
+            f"WHEN {i} THEN {repr(_math.sqrt(1.0 - c * c))}" for i, c in enumerate(plant_cos[:2])
+        )
+        + f" ELSE {repr(_math.sqrt(1.0 - plant_cos[2] ** 2))} END"
+    )
+    nv = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)')})"
+    # u0 = roll(v): u0[j] = v[(j % dim) + 1]; s = u0·v̂; w = u0 - s·v̂
+    s_expr = _fold_sum(
+        f"list_transform(range(1, {dim + 1}), "
+        f"j -> embedding[(j % {dim}) + 1]::DOUBLE * (embedding[j]::DOUBLE / nv))"
+    )
+    sig_cols = ",\n         ".join(
+        f"{_bucket_sql('embedding', rows_per_band, dim, start=b * rows_per_band)} AS s{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"l.s{b} = r.s{b}" for b in range(bands))
     dot = _fold_sum(
         f"list_transform(range(1, {dim + 1}), j -> l.embedding[j]::DOUBLE * r.embedding[j]::DOUBLE)"
     )
     nl = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> l.embedding[j]::DOUBLE * l.embedding[j]::DOUBLE)')})"
     nr = f"sqrt({_fold_sum(f'list_transform(range(1, {dim + 1}), j -> r.embedding[j]::DOUBLE * r.embedding[j]::DOUBLE)')})"
     return f"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-planted AS (
-  SELECT vec_id + 1000000 AS vec_id,
-         list_prepend(CAST(embedding[1]::DOUBLE + {plant_delta} AS FLOAT),
-                      embedding[2:{dim}]) AS embedding
+geom AS MATERIALIZED (
+  SELECT vec_id, embedding, {ct} AS ct, {st} AS st, {nv} AS nv
   FROM base WHERE vec_id % 10 = 0
 ),
+geom2 AS MATERIALIZED (
+  SELECT vec_id, embedding, ct, st, nv, {s_expr} AS s
+  FROM geom
+),
+geom3 AS MATERIALIZED (
+  SELECT vec_id, embedding, ct, st, nv,
+         list_transform(range(1, {dim + 1}),
+           j -> embedding[(j % {dim}) + 1]::DOUBLE - s * (embedding[j]::DOUBLE / nv)) AS w
+  FROM geom2
+),
+planted AS MATERIALIZED (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, {dim + 1}),
+           j -> ct * (embedding[j]::DOUBLE / nv)
+                + st * (w[j] / sqrt({_fold_sum('list_transform(w, x -> x * x)')})))::FLOAT[]
+           AS embedding
+  FROM geom3
+),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-sig AS (SELECT vec_id, embedding, {bucket} AS bucket FROM corpus),
+sig AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {sig_cols}
+  FROM corpus
+),
 pairs AS (
   SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
          {dot} / ({nl} * {nr}) AS cosine
-  FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  FROM sig l JOIN sig r ON l.vec_id < r.vec_id AND ({any_band})
 )
 SELECT vec_a, vec_b, round(cosine, 6) AS cosine
 FROM pairs WHERE cosine >= {threshold}"""

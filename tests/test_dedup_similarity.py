@@ -346,3 +346,76 @@ def test_embed_text_py_mirrors_spark(spark):
     df = spark.createDataFrame([("q", t)], "id string, text string")
     spark_vec = embed_texts(df, id_col="id").collect()[0]["embedding"]
     assert list(spark_vec) == embed_text_py(t)
+
+
+# ------------------------------------------------ banded embedding LSH (r3)
+
+
+def test_lsh_band_params_analytic_recall():
+    """(b, r) derivation: minimal b meeting the recall target, and the
+    analytic OR-of-ANDs recall model it solves against."""
+    from semstreams_spark.operators.similarity import banded_recall, lsh_band_params
+
+    # the gate's parameters: threshold 0.95, r=6 -> b=8 at target 0.995
+    assert lsh_band_params(0.95, target_recall=0.995, rows_per_band=6) == 8
+    assert banded_recall(0.95, bands=8, rows_per_band=6) >= 0.995
+    # one fewer band must fall short (minimality)
+    assert banded_recall(0.95, bands=7, rows_per_band=6) < 0.995
+    # recall is monotone in the pair's cosine: pairs ABOVE threshold do
+    # at least as well as pairs at it
+    for c in (0.96, 0.98, 0.999):
+        assert banded_recall(c, 8, 6) >= banded_recall(0.95, 8, 6)
+
+
+def test_banded_neardup_recovers_all_plants(spark):
+    """Every exact-rotation plant at cos ∈ {0.9501, 0.9601, 0.9801} —
+    at/near the 0.95 threshold — survives the banded LSH bucketing AND the
+    exact-cosine verify, at sf0.001 (round-2's single-band form recovered
+    ~70% and only at cos≈0.999)."""
+    import __spark_entry__ as entry
+    from semstreams_spark.operators.dedup import embedding_near_dups
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    corpus = entry.planted_neardup_corpus(e)
+    pairs = embedding_near_dups(
+        corpus, threshold=0.95, bands=entry.NEARDUP_BANDS, rows_per_band=entry.NEARDUP_ROWS
+    )
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs.collect()}
+    plant_ids = [r["vec_id"] for r in e.filter(F.col("vec_id") % 10 == 0).collect()]
+    assert len(plant_ids) > 0
+    missing = [v for v in plant_ids if (v, v + 1000000) not in got]
+    assert missing == [], f"plants not recovered: {missing}"
+    # each recovered pair's cosine ~= its construction target
+    for v in plant_ids:
+        lvl = (v // 10) % 3
+        target = (0.9501, 0.9601, 0.9801)[lvl]
+        assert abs(got[(v, v + 1000000)] - target) < 1e-5
+
+
+def test_banded_neardup_no_false_positives_below_threshold(spark):
+    """The verify step: base-corpus pairs (max natural cosine ≈0.49) never
+    appear, whatever the buckets say."""
+    from semstreams_spark.operators.dedup import embedding_near_dups
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = embedding_near_dups(e, threshold=0.95, bands=4, rows_per_band=4)
+    assert out.count() == 0
+
+
+def test_hot_bucket_cap_drops_oversized_buckets(spark):
+    """max_bucket_size guard: a corpus of identical vectors saturates one
+    bucket per band; with the cap those buckets are excluded, so no
+    candidate pairs emerge from them."""
+    from semstreams_spark.operators.dedup import embedding_near_dups
+
+    rows = [(i, [1.0] + [0.1] * 63) for i in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dups(
+        e, threshold=0.95, bands=2, rows_per_band=4, max_bucket_size=10
+    )
+    assert capped.count() == 0  # every bucket holds all 20 > cap
+    uncapped = embedding_near_dups(e, threshold=0.95, bands=2, rows_per_band=4)
+    assert uncapped.count() == 20 * 19 // 2
