@@ -304,11 +304,13 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN (inverted-file cells, deterministic lowest-id centroids,
-    probe-and-rerank) — the data-adaptive companion to ann_topk (LSH)."""
+    """IVF ANN (inverted-file cells, deterministic sample-trained k-means
+    centroids, n_cells ≈ √N, probe-and-rerank) — the data-adaptive
+    companion to ann_topk (LSH). Recall vs brute force asserted in
+    tests/test_dedup_similarity.py::test_ivf_recall_vs_bruteforce."""
     from semstreams_spark.operators.similarity import ann_topk_ivf
 
-    top = ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+    top = ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=10, n_cells=None)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -715,14 +717,18 @@ ENTITY_QUERY = "invoke calc stream window graph"
 
 def q_entity_semantic_topk(spark, sf_dir):
     """G7/G8/G9 entity semantic search: deterministic hashed-TF embedder
-    over latest-mention-context entity texts (bm25_embedder.go:46-64 shape)
-    with content-hash embedding dedup (G8), cosine top-k vs the query
-    embedding computed driver-side with the identical hash."""
+    at the reference's default 384 dims (bm25_embedder.go:61-62) over
+    latest-mention-context entity texts, with content-hash embedding dedup
+    (G8), cosine top-k vs the query embedding computed driver-side with
+    the identical hash."""
     from semstreams_spark.operators.similarity import cosine_topk
     from semstreams_spark.search.embedder import embed_entities_deduped, embed_text_py
 
     triples = extract_triples(_transcripts(spark, sf_dir))
-    emb = embed_entities_deduped(_mention_context_texts(triples))
+    # texts feed the hash branch AND the join-back inside
+    # embed_entities_deduped — cache so the mention-context derivation
+    # (extract + join + max_by) runs once
+    emb = embed_entities_deduped(_mention_context_texts(triples).cache(), dim=384)
     top = cosine_topk(emb, embed_text_py(ENTITY_QUERY), k=10, id_col="entity", vec_col="embedding")
     return top.select(F.col("vec_id").alias("entity"), F.round("cosine", 6).alias("cosine"))
 
@@ -1068,7 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": oracles.sql_ann_topk(_query_vec(f"/root/testdata/sf{sf:g}"), k=10),
         "ivf_topk": oracles.sql_ivf_topk(
-            f"/root/testdata/sf{sf:g}", _query_vec(f"/root/testdata/sf{sf:g}"), k=10
+            f"/root/testdata/sf{sf:g}", _query_vec(f"/root/testdata/sf{sf:g}"), k=10,
+            n_cells=None,
         ),
         "bm25_topk": oracles.sql_bm25_topk(BM25_QUERY, k=10),
         "hybrid_search": oracles.sql_bm25_topk(BM25_QUERY, k=10, lang="en"),
@@ -1100,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": oracles.sql_top_terms(k=20),
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),
-        "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10),
+        "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10, dim=384),
         "media_metadata_stats": """
             WITH g AS (
               SELECT i,

@@ -187,50 +187,114 @@ def assign_ivf_cells(
     )
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the engine fold order (0.0 + x1 + x2 ...)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def train_ivf_centroids(
+    sample: list[list[float]], n_cells: int, n_iters: int = 5
+) -> list[list[float]]:
+    """Deterministic spherical k-means (fixed-iteration Lloyd) over an
+    already-ordered sample — pure driver-side Python, so the Spark
+    operator and the DuckDB oracle derive BIT-IDENTICAL centroid literals
+    from the same sample list.
+
+    Init = first n_cells sample vectors (the sample is hash-ordered, so
+    this is a deterministic pseudo-random pick). Each iteration: assign
+    every sample vector to its max-cosine centroid (min-index tie-break),
+    recompute each centroid as the member mean in sample order, L2
+    normalize; empty cells keep their previous centroid. At corpus scale
+    this trains on a bounded sample (standard IVF practice) and the
+    trained centroids broadcast into the map-only assignment pass."""
+    cents = [list(map(float, v)) for v in sample[:n_cells]]
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        sums = [[0.0] * dim for _ in cents]
+        counts = [0] * len(cents)
+        for v in sample:
+            best_i, best_s = 0, -2.0
+            for ci, c in enumerate(cents):
+                s = _cos_py(v, c)
+                if s > best_s:
+                    best_i, best_s = ci, s
+            counts[best_i] += 1
+            sv = sums[best_i]
+            for j in range(dim):
+                sv[j] = sv[j] + float(v[j])
+        for ci in range(len(cents)):
+            if counts[ci] == 0:
+                continue
+            mean = [x / counts[ci] for x in sums[ci]]
+            nrm = math.sqrt(sum(x * x for x in mean))
+            if nrm > 0:
+                cents[ci] = [x / nrm for x in mean]
+    return cents
+
+
+def ivf_sample(
+    embeddings: DataFrame, sample_n: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic hash-ordered training sample: order by
+    (md5(id::string), id) and take sample_n — a seedless pseudo-random
+    sample any engine reproduces (DuckDB mirror in oracles.sql_ivf_topk)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int = 1024,
+    n_iters: int = 5,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse quantizer cells + probe-and-rerank —
-    the data-adaptive alternative to the hyperplane LSH variant.
+    """IVF (inverted-file) ANN: k-means coarse quantizer cells +
+    probe-and-rerank — the data-adaptive alternative to the hyperplane
+    LSH variant.
 
-    Centroids are the n_cells lowest-id vectors — a deterministic sample
-    that needs no training iterations (swap in offline k-means centroids
-    for quality; the query/probe plan is identical). Every vector joins
-    its max-cosine cell in ONE broadcast map pass; a query probes its
-    n_probe nearest cells and reranks exactly inside them, scanning
-    ~n_probe/n_cells of the corpus. At 100 TB the assignment is map-only
-    and the probe filter prunes cell-partitioned files.
+    Centroids come from deterministic spherical k-means over a
+    hash-ordered sample (train_ivf_centroids — fixed iterations, fixed
+    order, reproducible on any engine). n_cells=None sizes the codebook
+    at ≈√N (one count action). Every vector joins its max-cosine cell in
+    ONE broadcast map pass; a query probes its n_probe nearest cells and
+    reranks exactly inside them, scanning ~n_probe/n_cells of the corpus.
+    At 100 TB the assignment is map-only and the probe filter prunes
+    cell-partitioned files.
 
-    Deterministic end-to-end: centroid choice, assignment tie-breaks
+    Deterministic end-to-end: sample, training, assignment tie-breaks
     (min cell index), probe order, and the final (cosine desc, id asc)
     rerank (exact DuckDB oracle: oracles.sql_ivf_topk)."""
-    cent_rows = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    )
-    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)]
+    if n_cells is None:
+        n_cells = max(1, int(math.isqrt(embeddings.count())))
+    sample = ivf_sample(embeddings, sample_n, id_col, vec_col)
+    centroids = list(enumerate(train_ivf_centroids(sample, n_cells, n_iters)))
     assigned = assign_ivf_cells(embeddings, centroids, id_col, vec_col)
 
-    # driver-side query→cell distances with the same fold order
-    def _cos(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        na = 0.0
-        for x in a:
-            na = na + x * x
-        nb = 0.0
-        for y in b:
-            nb = nb + y * y
-        return acc / (math.sqrt(na) * math.sqrt(nb))
-
     q = [float(x) for x in query_vec]
-    probe = sorted(range(len(centroids)), key=lambda i: (-_cos(q, centroids[i][1]), i))[:n_probe]
+    probe = sorted(range(len(centroids)), key=lambda i: (-_cos_py(q, centroids[i][1]), i))[
+        :n_probe
+    ]
     qlit = F.array(*[F.lit(x) for x in q])
     return (
         assigned.filter(F.col("cell").isin(probe))

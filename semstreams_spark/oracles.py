@@ -357,36 +357,36 @@ def sql_ivf_topk(
     sf_dir: str,
     query_vec: list[float],
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 4,
+    sample_n: int = 1024,
+    n_iters: int = 5,
 ) -> str:
-    """IVF ANN oracle — mirrors similarity.ann_topk_ivf: deterministic
-    lowest-id centroids (read here to build the same plan literals),
-    max-cosine cell assignment with min-index tie-break via an ordered
-    list_reduce, driver-identical probe selection, exact rerank."""
+    """IVF ANN oracle — mirrors similarity.ann_topk_ivf: the SAME
+    hash-ordered sample (md5(vec_id::varchar), vec_id) and the SAME
+    deterministic spherical k-means (train_ivf_centroids) produce
+    bit-identical centroid literals; then max-cosine cell assignment with
+    min-index tie-break via an ordered list_reduce, driver-identical
+    probe selection, exact rerank."""
     import math as _math
     import os as _os
 
     import duckdb as _duckdb
 
-    p = _os.path.join(sf_dir, "embeddings.parquet")
-    rows = _duckdb.sql(
-        f"SELECT vec_id, embedding FROM read_parquet('{p}') ORDER BY vec_id LIMIT {n_cells}"
-    ).fetchall()
-    centroids = [[float(x) for x in r[1]] for r in rows]
-    dim = len(query_vec)
+    from .operators.similarity import _cos_py as _cos
+    from .operators.similarity import train_ivf_centroids
 
-    def _cos(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        na = 0.0
-        for x in a:
-            na = na + x * x
-        nb = 0.0
-        for y in b:
-            nb = nb + y * y
-        return acc / (_math.sqrt(na) * _math.sqrt(nb))
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    if n_cells is None:
+        (n,) = _duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()
+        n_cells = max(1, _math.isqrt(n))
+    rows = _duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{p}') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_n}"
+    ).fetchall()
+    sample = [[float(x) for x in r[1]] for r in rows]
+    centroids = train_ivf_centroids(sample, n_cells, n_iters)
+    dim = len(query_vec)
 
     q = [float(x) for x in query_vec]
     # len(centroids) may be < n_cells on tiny corpora — match ann_topk_ivf
@@ -1002,7 +1002,7 @@ LEFT JOIN ld ON n.id = ld.entity_id
 LEFT JOIN live ON n.id = live.id"""
 
 
-def sql_entity_semantic_topk(sf: float, query: str, k: int = 10, dim: int = 64) -> str:
+def sql_entity_semantic_topk(sf: float, query: str, k: int = 10, dim: int = 384) -> str:
     """Entity semantic search oracle — mirrors search.embedder.embed_texts
     over latest-mention-context node texts (hashed-TF buckets, L2
     normalize, sequential folds) + cosine top-k vs the driver-side query

@@ -419,3 +419,53 @@ def test_hot_bucket_cap_drops_oversized_buckets(spark):
     assert capped.count() == 0  # every bucket holds all 20 > cap
     uncapped = embedding_near_dups(e, threshold=0.95, bands=2, rows_per_band=4)
     assert uncapped.count() == 20 * 19 // 2
+
+
+def _clustered_corpus(spark, n_clusters=12, per_cluster=40, noise=0.25):
+    """Deterministic clustered vectors: near-orthogonal unit centers (the
+    md5-Gaussian hyperplane family) + scaled pseudo-random offsets."""
+    import math
+
+    from semstreams_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for c in range(n_clusters):
+        center = _hyperplane(64, c)
+        for j in range(per_cluster):
+            u = _hyperplane(64, 1000 + c * per_cluster + j)
+            v = [a + noise * b for a, b in zip(center, u)]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * per_cluster + j, [x / n for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """Trained-centroid IVF on CLUSTERED data (IVF's design case) recalls
+    >= 0.9 of the brute-force cosine top-10. (On this repo's uniform
+    random embeddings the true top-10 at cos~0.45 scatter across cells by
+    construction, so recall there measures the data, not the index.)"""
+    from semstreams_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    e, rows = _clustered_corpus(spark)
+    q = list(rows[5][1])  # a member of cluster 0
+    bf = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    ivf = {r["vec_id"] for r in ann_topk_ivf(e, q, k=10, n_cells=None, n_probe=4).collect()}
+    recall = len(bf & ivf) / 10.0
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_kmeans_deterministic():
+    """train_ivf_centroids is a pure function of the sample: same input,
+    bit-identical centroids; empty cells keep their previous centroid."""
+    from semstreams_spark.operators.similarity import train_ivf_centroids
+
+    sample = [[float((i * 7 + j * 3) % 11 - 5) for j in range(8)] for i in range(40)]
+    c1 = train_ivf_centroids(sample, 4, n_iters=5)
+    c2 = train_ivf_centroids(sample, 4, n_iters=5)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 8 for c in c1)
+    # centroids are unit vectors after training
+    import math
+
+    for c in c1:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
