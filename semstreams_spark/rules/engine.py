@@ -160,12 +160,21 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
-def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
+def apply_cooldown(
+    events: DataFrame, rules: list[Rule], last_fire: DataFrame | None = None
+) -> DataFrame:
     """R6 cooldown, exact greedy-from-last-fire (``rule_factory.go:24``):
     the first event per (rule_id, entity_id) fires; a later event fires
     iff it is ≥ cooldown after the last FIRED event. Events inside the
     mute window are dropped and do NOT push the mute forward — events at
     t=0/1800/3600 with cooldown 3600 fire {0, 3600}.
+
+    ``last_fire`` (optional, columns rule_id/entity_id/last_fire) seeds
+    the scan with each key's last fired timestamp from an earlier prefix
+    of the stream — the incremental form used by the streaming rule stage
+    (streaming/rules_stage.py), where the seed is derived from the
+    committed rule-events table itself. Incremental == global greedy when
+    successive calls cover event-time-ordered slices per key.
 
     A greedy scan is inherently sequential per key, so this is an
     Arrow-batched ``applyInPandas`` over (rule_id, entity_id) groups —
@@ -175,11 +184,19 @@ def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
     weaker previous-EVENT semantics.
     """
     import numpy as np
+    import pandas as pd
 
     cd = {r.id: r.cooldown_seconds for r in rules}
     if not any(cd.values()):
         return events
     cols = events.columns
+    if last_fire is not None:
+        seed = last_fire.select(
+            "rule_id", "entity_id", F.col("last_fire").alias("_last_fire")
+        )
+        ev = events.join(F.broadcast(seed), ["rule_id", "entity_id"], "left")
+    else:
+        ev = events.withColumn("_last_fire", F.lit(None).cast("timestamp_ntz"))
 
     def scan(pdf):
         sec = cd.get(pdf["rule_id"].iloc[0], 0)
@@ -194,14 +211,19 @@ def apply_cooldown(events: DataFrame, rules: list[Rule]) -> DataFrame:
         ts = pdf["ts"].to_numpy()
         keep = np.zeros(len(pdf), dtype=bool)
         mute = np.timedelta64(int(sec * 1_000_000), "us")
-        last = None
+        lf = pdf["_last_fire"].iloc[0]
+        last = None if pd.isnull(lf) else np.datetime64(lf, "us")
         for i in range(len(ts)):
             if last is None or ts[i] - last >= mute:
                 keep[i] = True
                 last = ts[i]
         return pdf[keep]
 
-    return events.groupBy("rule_id", "entity_id").applyInPandas(scan, events.schema)
+    return (
+        ev.groupBy("rule_id", "entity_id")
+        .applyInPandas(scan, ev.schema)
+        .drop("_last_fire")
+    )
 
 
 def apply_cooldown_lag(events: DataFrame, rules: list[Rule]) -> DataFrame:

@@ -1,6 +1,7 @@
 from .state_merge import conversation_graph_deltas, DELTA_SCHEMA
 from .sink import ExactlyOnceParquetSink
 from .pipeline import build_ingest_stream, read_transcript_stream
+from .rules_stage import StreamingRuleStage, build_ingest_with_rules
 
 __all__ = [
     "conversation_graph_deltas",
@@ -8,4 +9,6 @@ __all__ = [
     "ExactlyOnceParquetSink",
     "build_ingest_stream",
     "read_transcript_stream",
+    "StreamingRuleStage",
+    "build_ingest_with_rules",
 ]

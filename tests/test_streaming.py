@@ -304,3 +304,97 @@ def test_tws_matches_applyinpandaswithstate(spark, tmp_path):
     tws = run(accepted_turns_tws, "tws")
     assert len(tws) == 8  # 4 + 2 + 2 accepted, redelivery dropped
     assert tws == aip
+
+
+def test_streaming_rule_stage_kill_resume(spark, tmp_path):
+    """R5 end-to-end: rules + cooldown evaluated inside the live delta
+    stream's foreachBatch, committed exactly-once; a crash injected after
+    the delta commit but before the rule commit must, after restart,
+    yield rule events IDENTICAL to the batch engine (evaluate_rules +
+    global greedy apply_cooldown) over the same committed deltas —
+    the streaming analogue of the rule_events/alert_cooldown gates."""
+    from semstreams_spark.rules.engine import Condition, Rule, apply_cooldown, evaluate_rules
+    from semstreams_spark.streaming.rules_stage import build_ingest_with_rules, rule_states_view
+
+    rules = [
+        Rule(id="calc_used", conditions=(Condition("conv.turn.tool", "eq", "calc"),)),
+        Rule(
+            id="ent_seen",
+            conditions=(Condition("entity.mentioned", "starts_with", "test.local.conv."),),
+            cooldown_seconds=50,
+        ),
+    ]
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows = [
+        ("c1", i, "tool" if i == 5 else "user", f"msg {i} @entity:ent_x", "calc" if i == 5 else None,
+         T0 + dt.timedelta(seconds=20 * i))
+        for i in range(10)
+    ]
+    # event-time-ordered micro-batches (a log-ordered source) — the
+    # incremental-greedy == global-greedy precondition
+    _write_file(indir, "f1.parquet", rows[0:4])
+    _write_file(indir, "f2.parquet", rows[4:8])
+    _write_file(indir, "f3.parquet", rows[8:10])
+
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    q, _, _ = build_ingest_with_rules(
+        stream, outdir, rules, checkpoint_dir=ckpt, watermark="2 days", fail_rules_at_batch=1
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    stream2 = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    q2, delta_sink, rule_stage = build_ingest_with_rules(
+        stream2, outdir, rules, checkpoint_dir=ckpt, watermark="2 days"
+    )
+    q2.awaitTermination()
+
+    got = sorted(
+        map(tuple, rule_stage.sink.read(spark).select("rule_id", "entity_id", "ts").collect())
+    )
+    deltas = delta_sink.read(spark)
+    want_df = apply_cooldown(evaluate_rules(rule_states_view(deltas), rules), rules)
+    want = sorted(map(tuple, want_df.select("rule_id", "entity_id", "ts").collect()))
+    assert got == want
+    # the cooldown actually engaged across batch boundaries: 10 mention
+    # events at 20s spacing, 50s mute -> fires at t=0,60,120,180
+    ent = [t for t in got if t[0] == "ent_seen"]
+    assert [ts.second + 60 * ts.minute for (_, _, ts) in ent] == [0, 60, 120, 180]
+    assert [t for t in got if t[0] == "calc_used"]  # the no-cooldown rule fired
+    # every committed batch has a ledger row on BOTH tables
+    assert {e["batch_id"] for e in rule_stage.sink.ledger()} <= {
+        e["batch_id"] for e in delta_sink.ledger()
+    }
+
+
+def test_delete_rule_events_stream(spark, tmp_path):
+    """DELETED-change rule events off the live tombstone stream: committed
+    events equal deletion_events over all tombstones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semstreams_spark.operators.mutations import deletion_events
+    from semstreams_spark.streaming.mutations import read_delete_stream
+    from semstreams_spark.streaming.rules_stage import build_delete_rule_events
+
+    ddir = str(tmp_path / "dels")
+    os.makedirs(ddir, exist_ok=True)
+    t1, t2 = T0, T0 + dt.timedelta(minutes=5)
+    for i, (ent, t) in enumerate([("e1", t1), ("e2", t2)]):
+        p = os.path.join(ddir, f"d{i}.parquet")
+        pq.write_table(
+            pa.table({"entity_id": [f"test.local.graph.kb.entity.{ent}"], "ts": [t]}), p
+        )
+        _MTIME_COUNTER[0] += 10
+        os.utime(p, (_MTIME_COUNTER[0], _MTIME_COUNTER[0]))
+
+    q, sink = build_delete_rule_events(
+        read_delete_stream(spark, ddir, 1), str(tmp_path), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, sink.read(spark).collect()))
+    want = sorted(
+        map(tuple, deletion_events(spark.read.parquet(ddir)).collect())
+    )
+    assert got == want and len(got) == 2
+    assert all(r[0] == "entity_deleted" for r in got)
