@@ -747,6 +747,18 @@ def q_media_metadata_stats(spark, sf_dir):
     )
 
 
+def q_media_wav_decode(spark, sf_dir):
+    """REAL media decode path (round-2 gap #3): stdlib-wave decode of the
+    synthetic audio WAV payloads via Arrow-batched mapInPandas —
+    sample_rate/channels/width/frames read from the actual RIFF header,
+    duration + int16 sample sum from the decoded frames; the oracle
+    recomputes every field analytically from the generator contract
+    (synth_wav_bytes)."""
+    from semstreams_spark.operators.multimodal import decode_wav_features, synthesize_media
+
+    return decode_wav_features(synthesize_media(spark, n=64))
+
+
 def q_graphrag_local(spark, sf_dir):
     """G11 local search: ent_001's LPA community cohort, text-match
     scored against the query over real mention-context texts."""
@@ -1017,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bbox": q_spatial_bbox,
         "entity_semantic_topk": q_entity_semantic_topk,
         "media_metadata_stats": q_media_metadata_stats,
+        "media_wav_decode": q_media_wav_decode,
         "incoming_top": q_incoming_top,
         "metrics_rollup": q_metrics_rollup,
     }
@@ -1108,13 +1121,17 @@ def oracle_sql() -> dict[str, str]:
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),
         "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10, dim=384),
+        # generator contract: audio rows are real WAVs (44-byte PCM header
+        # + 2 bytes/frame, synth_wav_bytes), image/video are 32-byte hash
+        # repeats
         "media_metadata_stats": """
             WITH g AS (
               SELECT i,
                      ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
                      CASE WHEN i % 3 = 0 THEN 8 + (i % 4) * 8 END AS width,
-                     CASE WHEN i % 3 = 1 THEN 16000 END AS sample_rate,
-                     32 * (1 + i % 4) AS n_bytes
+                     CASE WHEN i % 3 = 1 THEN 8000 * (1 + (i % 9) // 3) END AS sample_rate,
+                     CASE WHEN i % 3 = 1 THEN 44 + 2 * (400 + (i % 5) * 80)
+                          ELSE 32 * (1 + i % 4) END AS n_bytes
               FROM range(0, 64) t(i)
             )
             SELECT kind, COUNT(*) AS n,
@@ -1122,6 +1139,19 @@ def oracle_sql() -> dict[str, str]:
                    AVG(sample_rate) AS avg_sample_rate,
                    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
             FROM g GROUP BY kind
+        """,
+        # real stdlib-wave decode of the same WAV payloads: every output
+        # field is exact integer math over the generator contract
+        "media_wav_decode": """
+            SELECT i AS media_id,
+                   CAST(8000 * (1 + (i % 9) // 3) AS INT) AS sample_rate,
+                   1 AS n_channels,
+                   2 AS sampwidth,
+                   CAST(400 + (i % 5) * 80 AS INT) AS n_frames,
+                   (400 + (i % 5) * 80) * 1000 // (8000 * (1 + (i % 9) // 3)) AS duration_ms,
+                   CAST(list_sum(list_transform(range(0, 400 + (i % 5) * 80),
+                        j -> ((i * 131 + j * 197) % 65536) - 32768)) AS BIGINT) AS sum_samples
+            FROM range(0, 64) t(i) WHERE i % 3 = 1
         """,
         "incoming_top": oracles.sql_incoming_top(ORACLE_SF),
         "metrics_rollup": """

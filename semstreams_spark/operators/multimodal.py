@@ -104,6 +104,92 @@ def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     )
 
 
+def synth_wav_bytes(i: int) -> tuple[bytes, int, int]:
+    """Deterministic mono 16-bit PCM WAV for synthetic media row i:
+    sample_rate = 8000·(1 + (i%9)//3), n_frames = 400 + (i%5)·80,
+    sample j = ((i·131 + j·197) mod 65536) − 32768. Returns
+    (wav_bytes, sample_rate, n_frames); the standard PCM header is 44
+    bytes, so len(wav_bytes) == 44 + 2·n_frames — the analytic contract
+    the media gates' oracles recompute."""
+    import io
+    import wave
+
+    rate = 8000 * (1 + (i % 9) // 3)
+    n_frames = 400 + (i % 5) * 80
+    samples = bytearray()
+    for j in range(n_frames):
+        v = ((i * 131 + j * 197) % 65536) - 32768
+        samples += int(v).to_bytes(2, "little", signed=True)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(samples))
+    return buf.getvalue(), rate, n_frames
+
+
+def decode_wav_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """REAL audio decode over binary WAV payloads (stdlib ``wave`` — no
+    external codec needed): audio rows → (media_id, sample_rate,
+    n_channels, sampwidth, n_frames, duration_ms, sum_samples) via
+    Arrow-batched mapInPandas. All outputs are exact integers (duration
+    truncated to ms; sum of int16 samples as int64), so the gate has an
+    analytic DuckDB oracle over the generator contract.
+
+    This is the drop-in shape for other codecs: same plan (binary column
+    through Arrow, narrow numeric frame out), different decoder inside
+    the batch loop."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                samples = np.frombuffer(raw, dtype=np.int16)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        nch,
+                        width,
+                        nf,
+                        nf * 1000 // rate,
+                        int(samples.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "sampwidth",
+                    "n_frames",
+                    "duration_ms",
+                    "sum_samples",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        gen,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, sampwidth int, "
+            "n_frames int, duration_ms long, sum_samples long"
+        ),
+    )
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must NOT read the binary column (column
     pruning; verify via .explain ReadSchema)."""
@@ -117,20 +203,26 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
 
 def synthesize_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table for tests (binary payloads
-    derived from the row id; no external data)."""
+    derived from the row id; no external data). Audio rows carry REAL
+    decodable WAV bytes (synth_wav_bytes contract); image/video payloads
+    stay opaque hash bytes (their codecs aren't in this runtime)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     base_ts = dt.datetime(2025, 1, 1)
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 4)
+        if kind == "audio":
+            payload, rate, n_frames = synth_wav_bytes(i)
+        else:
+            payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 4)
+            rate, n_frames = None, None
         meta = {
             "width": int(8 + (i % 4) * 8) if kind == "image" else None,
             "height": int(8 + (i % 3) * 8) if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": int(30 + i) if kind == "video" else None,
-            "codec": {"image": "png", "audio": "pcm", "video": "h264"}[kind],
+            "sample_rate": rate,
+            "n_frames": n_frames if kind == "audio" else (int(30 + i) if kind == "video" else None),
+            "codec": {"image": "png", "audio": "wav", "video": "h264"}[kind],
         }
         rows.append((i, kind, bytearray(payload), meta, base_ts + dt.timedelta(seconds=i)))
     _ = rng

@@ -199,3 +199,28 @@ def test_graphrag_local_and_global(spark):
     # c1 scores 2*2 + 1.5*2 = 7 vs c2 2*1+1.5*1=3.5 -> only c1's members
     assert {r["community"] for r in glob} == {"c1"}
     assert glob[0]["entity"] == "e1" and glob[0]["entity_score"] == 2
+
+
+def test_wav_decode_real_path(spark):
+    """Real (not stubbed) audio decode: stdlib wave reads the synthetic
+    WAV payloads back; header fields and the int16 sample sum match the
+    generator contract exactly."""
+    from semstreams_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav_bytes,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=24)
+    out = {r["media_id"]: r for r in decode_wav_features(media).collect()}
+    assert len(out) == 8  # audio rows: i % 3 == 1
+    for i, r in out.items():
+        wav, rate, n_frames = synth_wav_bytes(i)
+        assert (r["sample_rate"], r["n_channels"], r["sampwidth"], r["n_frames"]) == (
+            rate, 1, 2, n_frames,
+        )
+        assert r["duration_ms"] == n_frames * 1000 // rate
+        assert r["sum_samples"] == sum(
+            ((i * 131 + j * 197) % 65536) - 32768 for j in range(n_frames)
+        )
+        assert len(wav) == 44 + 2 * n_frames  # the oracle's byte contract
