@@ -6,7 +6,9 @@ Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
 line:
 
   {"metric": "headline_suite_wall", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>,
+   "queries": {...per-query MIN over --reps interleaved passes...},
+   "queries_median": {...per-query median...}, "reps": R,
+   "loadavg_1m": [start, end], "sf": <sf>,
    "turns_per_sec": ..., "batch_p95_ms": ..., "cores": N}
 
 The e2e streaming ingest (read → extract → stateful merge → exactly-once
@@ -34,9 +36,15 @@ def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def batch_queries(spark, sf_dir):
+def batch_queries(spark, sf_dir, reps: int = 3):
     """Headline batch queries (subset of __spark_entry__ queries that
-    dominate the pipeline)."""
+    dominate the pipeline), each timed `reps` times with the reps
+    INTERLEAVED (full suite passes back-to-back) so co-tenant load spikes
+    on this shared host hit all queries alike; reports {min, median} per
+    query. min is the headline (the protocol of record, BASELINE §C);
+    median exposes how loaded the run was."""
+    import statistics
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -58,13 +66,19 @@ def batch_queries(spark, sf_dir):
         "embedding_neardup_lsh",
         "pagerank_entities",
         "entity_semantic_topk",
+        # round-3 additions: trained-centroid IVF + real WAV decode
+        "ivf_topk",
+        "media_wav_decode",
     ]
-    out = {}
-    for n in names:
-        t0 = time.monotonic()
-        _noop_write(qs[n](spark, sf_dir))
-        out[n] = round(time.monotonic() - t0, 3)
-    return out
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for n in names:
+            t0 = time.monotonic()
+            _noop_write(qs[n](spark, sf_dir))
+            times[n].append(time.monotonic() - t0)
+    mins = {n: round(min(ts), 3) for n, ts in times.items()}
+    medians = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    return mins, medians
 
 
 def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90 days"):
@@ -114,6 +128,12 @@ def main():
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--stream-only", action="store_true")
     ap.add_argument("--runs", type=int, default=3, help="timed ingest runs (after 1 discarded warmup)")
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("BENCH_REPS", "3")),
+        help="interleaved suite passes for per-query min/median",
+    )
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -125,7 +145,13 @@ def main():
     spark = get_spark("bench", cores=args.cores, shuffle_partitions=args.cores)
     workdir = args.workdir or tempfile.mkdtemp(prefix="semspark_bench_")
 
+    # host-load marker: this is a shared gVisor host with 2-4x co-tenant
+    # wall-time jitter; the 1-min load average before/after contextualizes
+    # the medians (protocol in BASELINE §C)
+    load_start = round(os.getloadavg()[0], 2)
+
     queries: dict[str, float] = {}
+    queries_median: dict[str, float] = {}
     total = 0.0
 
     # e2e throughput: one big batch over cores*2 files; warmup discarded
@@ -154,9 +180,10 @@ def main():
         )
         batch_p95_ms = p95(per_batch)
 
-        bq = batch_queries(spark, args.sf_dir)
-        queries.update(bq)
-        total += sum(bq.values())
+        mins, medians = batch_queries(spark, args.sf_dir, reps=args.reps)
+        queries.update(mins)
+        queries_median.update(medians)
+        total += sum(mins.values())
 
     print(
         json.dumps(
@@ -165,11 +192,14 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,
+                "queries_median": queries_median,
+                "reps": args.reps,
                 "sf": sf,
                 "turns_per_sec": turns_per_sec,
                 "n_turns": n_turns,
                 "ingest_walls": ingest_walls,
                 "batch_p95_ms": batch_p95_ms,
+                "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "cores": args.cores,
             }
         )
