@@ -22,6 +22,7 @@ two parallelism levels in fresh JVMs and reports efficiency.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import shutil
@@ -76,6 +77,13 @@ def batch_queries(spark, sf_dir, reps: int = 3):
             t0 = time.monotonic()
             _noop_write(qs[n](spark, sf_dir))
             times[n].append(time.monotonic() - t0)
+            # drop DataFrame caches pinned by iterative operators so
+            # storage doesn't accumulate across reps (GC pressure was
+            # inflating whatever query happened to run last); cleanup is
+            # outside the timed window — a real deployment runs one query
+            # per session/job, not 57 back-to-back in one JVM
+            spark.catalog.clearCache()
+        gc.collect()
     mins = {n: round(min(ts), 3) for n, ts in times.items()}
     medians = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
     return mins, medians
