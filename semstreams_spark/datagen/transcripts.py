@@ -167,7 +167,11 @@ def ensure_transcripts(sf: float, seed: int = SEED) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tbl, atbl = generate_transcripts(sf, seed)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(tbl, tmp, compression="snappy", row_group_size=200_000)
+    # small row groups so Spark can split the single local file across
+    # cores (parquet splits at row-group granularity; 200k-row groups
+    # capped every transcript scan at 3 tasks on a 32-core box). Values
+    # are unchanged — only the file's physical layout.
+    pq.write_table(tbl, tmp, compression="snappy", row_group_size=16_384)
     os.replace(tmp, path)
     tmpa = apath + f".tmp.{os.getpid()}"
     pq.write_table(atbl, tmpa, compression="snappy")

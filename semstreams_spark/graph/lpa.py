@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._width import iteration_shuffle_width
+
 
 def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """(entity, community) — community = min entity id of the cluster's
@@ -38,32 +40,36 @@ def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("entity"))
     )
-    for it in range(max_iter):
-        votes = (
-            und.join(labels, und["dst"] == labels["entity"])
-            .groupBy(F.col("src"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # majority label; ties -> lexicographically smallest label:
-        # minimize (-n, label)
-        best = votes.groupBy("src").agg(
-            F.expr("min_by(label, struct(-n, label))").alias("new_label")
-        )
-        new_labels = best.select(F.col("src").alias("entity"), F.col("new_label").alias("label"))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        prev, labels = labels, new_labels
-        # convergence test costs a driver action — sample every 3rd
-        # iteration (matches the pagerank pattern); extra iterations after
-        # convergence are idempotent, so sampling never changes the result
-        if it % 3 == 2 or it == max_iter - 1:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "entity")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
+    n = labels.count()
+    # label votes are min_by-deterministic regardless of partitioning, so
+    # the graph-sized shuffle width changes only per-iteration fixed cost
+    with iteration_shuffle_width(edges.sparkSession, n):
+        for it in range(max_iter):
+            votes = (
+                und.join(labels, und["dst"] == labels["entity"])
+                .groupBy(F.col("src"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("n"))
             )
-            if changed == 0:
-                break
+            # majority label; ties -> lexicographically smallest label:
+            # minimize (-n, label)
+            best = votes.groupBy("src").agg(
+                F.expr("min_by(label, struct(-n, label))").alias("new_label")
+            )
+            new_labels = best.select(F.col("src").alias("entity"), F.col("new_label").alias("label"))
+            new_labels = new_labels.localCheckpoint(eager=True)
+            prev, labels = labels, new_labels
+            # convergence test costs a driver action — sample every 3rd
+            # iteration (matches the pagerank pattern); extra iterations after
+            # convergence are idempotent, so sampling never changes the result
+            if it % 3 == 2 or it == max_iter - 1:
+                changed = (
+                    labels.alias("n")
+                    .join(prev.alias("o"), "entity")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                if changed == 0:
+                    break
     und.unpersist()
     return labels.select("entity", F.col("label").alias("community"))
 

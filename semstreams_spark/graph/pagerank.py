@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._width import iteration_shuffle_width
+
 
 def degree_centrality(edges: DataFrame) -> DataFrame:
     """(entity, out_degree, in_degree, degree)."""
@@ -65,30 +67,33 @@ def pagerank_exact(
     # (1-d)/n term is a pure constant under integer division
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(max_iter):
-        contribs = (
-            links.join(ranks, links["src"] == ranks["entity"])
-            .select(F.col("dst").alias("entity"), F.expr("rank div deg").alias("c"))
-            .groupBy("entity")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        dm = dangling_nodes.join(ranks, "entity").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
-        )
-        ranks = (
-            nodes.join(contribs, "entity", "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
-                "entity",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * ((dmass div {n}) + coalesce(inflow, 0L))) div {damping_den}"
-                    )
-                ).alias("rank"),
+    # integer sums are order-free, so narrowing the shuffle width cannot
+    # change the result — only the per-iteration fixed cost
+    with iteration_shuffle_width(edges.sparkSession, n):
+        for _ in range(max_iter):
+            contribs = (
+                links.join(ranks, links["src"] == ranks["entity"])
+                .select(F.col("dst").alias("entity"), F.expr("rank div deg").alias("c"))
+                .groupBy("entity")
+                .agg(F.sum("c").alias("inflow"))
             )
-            .localCheckpoint(eager=True)
-        )
+            dm = dangling_nodes.join(ranks, "entity").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
+            )
+            ranks = (
+                nodes.join(contribs, "entity", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "entity",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({damping_num} * ((dmass div {n}) + coalesce(inflow, 0L))) div {damping_den}"
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     nodes.unpersist()
     links.unpersist()
     dangling_nodes.unpersist()

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # openCost only lowers the SPLIT-SIZE FLOOR: locally it lets a
+        # 12 MB CPU-heavy transcript file fan out across all cores
+        # (split = max(openCost, bytes/cores)); at cluster scale
+        # bytes/cores >> this so splits stay at maxPartitionBytes —
+        # scale-neutral, unlike shrinking maxPartitionBytes itself
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
