@@ -174,8 +174,12 @@ def main():
         )
         if i > 0:
             walls.append(wall)
-    wall = statistics.median(walls)
+    # min-of-runs (same estimator as the per-query section): co-tenant
+    # load can inflate a wall, nothing can deflate one below true cost;
+    # ingest_walls + queries_median carry the spread
+    wall = min(walls)
     queries["ingest_e2e"] = round(wall, 3)
+    queries_median["ingest_e2e"] = round(statistics.median(walls), 3)
     total += wall
     turns_per_sec = round(n_turns / wall, 1)
     ingest_walls = [round(w, 3) for w in walls]
