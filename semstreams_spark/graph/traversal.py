@@ -19,6 +19,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._width import iteration_shuffle_width
+
 
 def bounded_traversal(
     edges: DataFrame,
@@ -38,32 +40,34 @@ def bounded_traversal(
     """
     spark: SparkSession = edges.sparkSession
     e = _undirected(edges, edge_filter, bidirectional).cache()
+    n_edges = e.count()  # fills the cache the first hop needs anyway
 
     visited = spark.createDataFrame(
         [(start, 0, 1.0)], "entity string, depth int, score double"
     )
     frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier["entity"] == e["src"])
-            .select(
-                F.col("dst").alias("entity"),
-                F.lit(d).alias("depth"),
-                (F.col("score") * F.lit(decay)).alias("score"),
+    with iteration_shuffle_width(spark, n_edges):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["entity"] == e["src"])
+                .select(
+                    F.col("dst").alias("entity"),
+                    F.lit(d).alias("depth"),
+                    (F.col("score") * F.lit(decay)).alias("score"),
+                )
+                .distinct()
+                .join(visited.select("entity"), "entity", "left_anti")
             )
-            .distinct()
-            .join(visited.select("entity"), "entity", "left_anti")
-        )
-        if max_nodes is not None:
-            remaining = max_nodes - visited.count()
-            if remaining <= 0:
+            if max_nodes is not None:
+                remaining = max_nodes - visited.count()
+                if remaining <= 0:
+                    break
+                nxt = nxt.orderBy(F.desc("score"), F.asc("entity")).limit(remaining)
+            nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
+            if nxt.isEmpty():
                 break
-            nxt = nxt.orderBy(F.desc("score"), F.asc("entity")).limit(remaining)
-        nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+            visited = visited.unionByName(nxt)
+            frontier = nxt
     # every level is already checkpointed, so the assembled result's
     # lineage no longer references e — safe to unpersist immediately
     e.unpersist()
@@ -122,36 +126,38 @@ def traversal_paths(
     # count, and the final sort are separate actions that would otherwise
     # re-run the whole upstream plan (e.g. triple extraction) per action
     e = _undirected(edges, edge_filter, bidirectional).cache()
+    n_edges = e.count()
 
     t0 = time.monotonic()
     frontier = spark.createDataFrame([([start], 0, 1.0)], "path array<string>, depth int, score double")
     levels = [frontier]
     truncated = False
-    for d in range(1, max_depth + 1):
-        if max_time_s is not None and time.monotonic() - t0 >= max_time_s:
-            truncated = True
-            break
-        if per_hop_cap is not None:
-            capped = frontier.orderBy(F.desc("score"), F.asc("path")).limit(per_hop_cap)
-            capped = capped.localCheckpoint(eager=True)
-            if capped.count() < frontier.count():
+    with iteration_shuffle_width(spark, n_edges):
+        for d in range(1, max_depth + 1):
+            if max_time_s is not None and time.monotonic() - t0 >= max_time_s:
                 truncated = True
-            frontier = capped
-        last = F.element_at(F.col("path"), -1)
-        nxt = (
-            frontier.join(e, last == e["src"])
-            .filter(~F.array_contains(F.col("path"), F.col("dst")))
-            .select(
-                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
-                F.lit(d).alias("depth"),
-                (F.col("score") * F.lit(decay)).alias("score"),
+                break
+            if per_hop_cap is not None:
+                capped = frontier.orderBy(F.desc("score"), F.asc("path")).limit(per_hop_cap)
+                capped = capped.localCheckpoint(eager=True)
+                if capped.count() < frontier.count():
+                    truncated = True
+                frontier = capped
+            last = F.element_at(F.col("path"), -1)
+            nxt = (
+                frontier.join(e, last == e["src"])
+                .filter(~F.array_contains(F.col("path"), F.col("dst")))
+                .select(
+                    F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                    F.lit(d).alias("depth"),
+                    (F.col("score") * F.lit(decay)).alias("score"),
+                )
             )
-        )
-        nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
-        if nxt.isEmpty():
-            break
-        levels.append(nxt)
-        frontier = nxt
+            nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            frontier = nxt
 
     out = levels[0]
     for lv in levels[1:]:
