@@ -31,6 +31,13 @@ def iteration_shuffle_width(spark: SparkSession, n_nodes: int):
     sessions here are single-query (bench/tests/driver run queries
     sequentially), so the temporary session-conf change cannot leak into
     a concurrently-planned query."""
+    if spark.streams.active:
+        # a live streaming query could plan a micro-batch while the conf
+        # is narrowed — don't touch session state under it; the graph
+        # loop just runs at session width (correctness is unaffected
+        # either way, this knob is purely fixed-cost tuning)
+        yield
+        return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(graph_width(spark, n_nodes)))
     try:
