@@ -591,7 +591,30 @@ def planted_neardup_corpus(e):
         "w",
         F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda acc, x: acc + x * x)).alias("nw"),
     )
-    planted = g4.select(
+    # Degenerate guard: if roll(v) is parallel to v (e.g. a constant
+    # vector) the residual norm nw is ~0 and w/nw would be NaN — NaN
+    # cosine then DIVERGES across engines (DuckDB sorts NaN greatest, so
+    # `cosine >= t` passes there but fails in Spark). Fall back to the
+    # Gram-Schmidt residual of e1 against v̂ — degenerate only for v ∝ e1,
+    # whose roll is ∝ e2 and never takes this branch. Mirrored verbatim
+    # in oracles.sql_embedding_neardup_lsh.
+    vh1 = F.element_at(emb, 1).cast("double") / nv
+    fb_w = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda j: F.when(j == F.lit(1), F.lit(1.0)).otherwise(F.lit(0.0))
+        - vh1 * (F.element_at(emb, j).cast("double") / nv),
+    )
+    fb_nw = F.sqrt(F.lit(1.0) - vh1 * vh1)
+    g5 = g4.select(
+        "vec_id",
+        "embedding",
+        "nv",
+        "ct",
+        "st",
+        F.when(F.col("nw") >= F.lit(1e-12), F.col("w")).otherwise(fb_w).alias("w"),
+        F.when(F.col("nw") >= F.lit(1e-12), F.col("nw")).otherwise(fb_nw).alias("nw"),
+    )
+    planted = g5.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.zip_with(
             emb,

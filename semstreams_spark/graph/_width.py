@@ -17,15 +17,17 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 
-def graph_width(spark: SparkSession, n_nodes: int, rows_per_partition: int = 5000) -> int:
-    """Reducer count for an n_nodes-graph iteration: ≈ n/5000, at least 1,
-    at most the session's configured shuffle width."""
+def graph_width(spark: SparkSession, n_rows: int, rows_per_partition: int = 5000) -> int:
+    """Reducer count for an iteration shuffling ~n_rows rows per step
+    (nodes for vertex-program loops, edges for frontier joins — whichever
+    the loop actually exchanges): ≈ n_rows/5000, at least 1, at most the
+    session's configured shuffle width."""
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(1, min(cur, n_nodes // rows_per_partition))
+    return max(1, min(cur, n_rows // rows_per_partition))
 
 
 @contextmanager
-def iteration_shuffle_width(spark: SparkSession, n_nodes: int):
+def iteration_shuffle_width(spark: SparkSession, n_rows: int):
     """Temporarily set spark.sql.shuffle.partitions to graph_width for an
     iterative loop, restoring the session value afterwards. Local-mode
     sessions here are single-query (bench/tests/driver run queries
@@ -39,7 +41,7 @@ def iteration_shuffle_width(spark: SparkSession, n_nodes: int):
         yield
         return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(graph_width(spark, n_nodes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(graph_width(spark, n_rows)))
     try:
         yield
     finally:

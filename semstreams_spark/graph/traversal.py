@@ -46,8 +46,14 @@ def bounded_traversal(
         [(start, 0, 1.0)], "entity string, depth int, score double"
     )
     frontier = visited
+    # visited size tracked incrementally (previous + accepted frontier);
+    # counting the materialized frontier after localCheckpoint is free-ish,
+    # while visited.count() would re-scan the growing union every hop
+    n_visited = 1
     with iteration_shuffle_width(spark, n_edges):
         for d in range(1, max_depth + 1):
+            if max_nodes is not None and max_nodes - n_visited <= 0:
+                break
             nxt = (
                 frontier.join(e, frontier["entity"] == e["src"])
                 .select(
@@ -59,13 +65,14 @@ def bounded_traversal(
                 .join(visited.select("entity"), "entity", "left_anti")
             )
             if max_nodes is not None:
-                remaining = max_nodes - visited.count()
-                if remaining <= 0:
-                    break
-                nxt = nxt.orderBy(F.desc("score"), F.asc("entity")).limit(remaining)
+                nxt = nxt.orderBy(F.desc("score"), F.asc("entity")).limit(
+                    max_nodes - n_visited
+                )
             nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
-            if nxt.isEmpty():
+            n_new = nxt.count()  # counts the checkpointed blocks, no recompute
+            if n_new == 0:
                 break
+            n_visited += n_new
             visited = visited.unionByName(nxt)
             frontier = nxt
     # every level is already checkpointed, so the assembled result's

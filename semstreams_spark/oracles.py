@@ -423,8 +423,8 @@ FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 def sql_embedding_neardup_lsh(
     threshold: float = 0.95,
-    bands: int = 8,
-    rows_per_band: int = 6,
+    bands: int | None = None,
+    rows_per_band: int = 10,
     dim: int = 64,
     plant_cos: tuple[float, ...] = (0.9501, 0.9601, 0.9801),
 ) -> str:
@@ -436,9 +436,17 @@ def sql_embedding_neardup_lsh(
     __spark_entry__.planted_neardup_corpus), ct cycling plant_cos by
     (vec_id//10) % 3 — so cos(v, v') == ct exactly (up to one float
     rounding). Candidates = pairs sharing ANY band signature, then exact
-    cosine verify."""
+    cosine verify.
+
+    Defaults are DERIVED through the same ``lsh_band_params`` call the
+    operator uses (``dedup.embedding_near_dups``), so calling both sides
+    with defaults can never produce mismatched (b, r) configurations."""
     import math as _math
 
+    if bands is None:
+        from .operators.similarity import lsh_band_params
+
+        bands = lsh_band_params(threshold, 0.95, rows_per_band)
     ct = (
         "CASE (vec_id // 10) % 3 "
         + " ".join(f"WHEN {i} THEN {repr(float(c))}" for i, c in enumerate(plant_cos[:2]))
@@ -482,13 +490,30 @@ geom3 AS MATERIALIZED (
            j -> embedding[(j % {dim}) + 1]::DOUBLE - s * (embedding[j]::DOUBLE / nv)) AS w
   FROM geom2
 ),
+geom4 AS MATERIALIZED (
+  SELECT vec_id, embedding, ct, st, nv, w,
+         sqrt({_fold_sum('list_transform(w, x -> x * x)')}) AS nw
+  FROM geom3
+),
+-- degenerate guard (mirrors __spark_entry__.planted_neardup_corpus):
+-- roll(v) parallel to v => nw ~ 0 => fall back to Gram-Schmidt of e1
+geom5 AS MATERIALIZED (
+  SELECT vec_id, embedding, ct, st, nv,
+         CASE WHEN nw >= 1e-12 THEN w
+              ELSE list_transform(range(1, {dim + 1}),
+                j -> (CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END)
+                     - (embedding[1]::DOUBLE / nv) * (embedding[j]::DOUBLE / nv)) END AS w_s,
+         CASE WHEN nw >= 1e-12 THEN nw
+              ELSE sqrt(1.0 - (embedding[1]::DOUBLE / nv) * (embedding[1]::DOUBLE / nv)) END AS nw_s
+  FROM geom4
+),
 planted AS MATERIALIZED (
   SELECT vec_id + 1000000 AS vec_id,
          list_transform(range(1, {dim + 1}),
            j -> ct * (embedding[j]::DOUBLE / nv)
-                + st * (w[j] / sqrt({_fold_sum('list_transform(w, x -> x * x)')})))::FLOAT[]
+                + st * (w_s[j] / nw_s))::FLOAT[]
            AS embedding
-  FROM geom3
+  FROM geom5
 ),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 sig AS MATERIALIZED (

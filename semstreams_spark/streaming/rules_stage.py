@@ -18,13 +18,25 @@ Spark shape:
   itself rather than held in a separate store, so a crash can never
   desync state from output: replayed batches are skipped by the ledger,
   and the last-fire seed is rebuilt from exactly the committed prefix.
-  (At scale this read is a partition-pruned scan of the small events
-  table; a keyed state-store variant would trade that for more state to
-  checkpoint.)
-- incremental greedy == the global batch scan when batches arrive in
-  event-time order per key — the property a log-ordered source (Kafka,
-  ordered files) provides, and the reference's arrival-order mute
-  semantics assume the same.
+- the seed read is BOUNDED: a last fire older than max(cooldown) before
+  the batch's min event time can never mute anything in the batch (every
+  batch event is ≥ min event time, so its gap to such a fire already
+  exceeds every rule's cooldown), so only committed batches whose ledger
+  max event time reaches past that cutoff are read — ledger footer-stat
+  pruning (sink.batch_dirs_since), no data files touched for the rest.
+  Per-batch work is therefore O(events within the cooldown horizon),
+  independent of total stream history — the scale analogue of the
+  reference's O(1) per-rule lastFired check (rule_factory.go:24).
+- ordering semantics: incremental greedy == the global batch scan when
+  batches arrive in event-time order per key — the property a
+  log-ordered source (Kafka, ordered files) provides. A LATE but
+  in-watermark row finalized in a later batch with an earlier ts follows
+  the reference's ARRIVAL-ORDER mute semantics instead: the reference
+  checks wall-clock elapsed-since-lastFired at arrival
+  (``rule_factory.go:24``), so an event arriving just after a fire is
+  muted regardless of its event time — and the greedy scan here does the
+  same (ts < seeded last_fire ⇒ gap < cooldown ⇒ muted). Pinned by
+  tests/test_streaming.py::test_streaming_rule_late_event_arrival_order.
 
 The stage evaluates rules over TWO views of each batch (matching the
 watcher, which sees entity-level changes, not raw turn rows):
@@ -75,14 +87,46 @@ class StreamingRuleStage:
     def __init__(self, out_dir: str, rules: list[Rule]):
         self.rules = rules
         self.sink = ExactlyOnceParquetSink(os.path.join(out_dir, "rule_events"))
+        self.max_cooldown = max(
+            [r.cooldown_seconds for r in rules if r.enabled], default=0
+        )
 
-    def last_fires(self, spark: SparkSession) -> DataFrame | None:
+    def seed_batch_dirs(self, min_event_ts) -> list[str]:
+        """Committed rule-event batch dirs the cooldown seed must read for
+        a micro-batch whose earliest event is `min_event_ts`: only those
+        whose ledger max event time is within max(cooldown) of it — an
+        older last fire cannot mute any batch event. Exposed so tests can
+        assert the read is bounded (independent of total batch count)."""
+        import datetime as _dt
+
+        cutoff = min_event_ts - _dt.timedelta(seconds=self.max_cooldown)
+        return self.sink.batch_dirs_since(cutoff)
+
+    def last_fires(self, spark: SparkSession, min_event_ts=None) -> DataFrame | None:
         """Last fired ts per (rule_id, entity_id) over the committed
-        prefix — the cooldown seed."""
-        try:
-            committed = self.sink.read(spark)
-        except FileNotFoundError:
-            return None
+        prefix — the cooldown seed. With `min_event_ts` (the incoming
+        batch's earliest event time), the read is bounded to the cooldown
+        horizon via ledger footer-stat pruning; rows older than the
+        cutoff are filtered out too, so the seed aggregation itself is
+        O(recent events), not O(history)."""
+        if self.max_cooldown == 0:
+            return None  # no rule has a cooldown: seed is never consulted
+        if min_event_ts is None:
+            try:
+                committed = self.sink.read(spark)
+            except FileNotFoundError:
+                return None
+        else:
+            import datetime as _dt
+
+            dirs = self.seed_batch_dirs(min_event_ts)
+            if not dirs:
+                return None
+            cutoff = min_event_ts - _dt.timedelta(seconds=self.max_cooldown)
+            # parquet ts reads as TIMESTAMP_NTZ; align the literal's type
+            committed = spark.read.parquet(*dirs).filter(
+                F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz")
+            )
         return committed.groupBy("rule_id", "entity_id").agg(
             F.max("ts").alias("last_fire")
         )
@@ -91,8 +135,15 @@ class StreamingRuleStage:
         if self.sink.committed(batch_id):
             return  # replay after crash-between-write-and-checkpoint
         spark = batch_df.sparkSession
+        # one scalar agg over the (persisted) batch to anchor the seed
+        # cutoff; skipped entirely when no rule has a cooldown
+        min_ts = None
+        if self.max_cooldown > 0:
+            min_ts = batch_df.agg(F.min("ts")).first()[0]
         events = evaluate_rules(rule_states_view(batch_df), self.rules)
-        fired = apply_cooldown(events, self.rules, last_fire=self.last_fires(spark))
+        # empty batch (min_ts None): nothing can fire, no seed needed
+        seed = self.last_fires(spark, min_ts) if min_ts is not None else None
+        fired = apply_cooldown(events, self.rules, last_fire=seed)
         self.sink(fired, batch_id)
 
 

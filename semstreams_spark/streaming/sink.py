@@ -123,14 +123,45 @@ class ExactlyOnceParquetSink:
         return out
 
     # -- reader -------------------------------------------------------------
-    def read(self, spark) -> DataFrame:
-        """Committed rows only (ledger-gated)."""
-        dirs = [
+    def _committed_dirs(self) -> list[str]:
+        return [
             os.path.join(self.table_dir, d)
             for d in os.listdir(self.table_dir)
             if d.startswith("batch=")
             and self.committed(int(d.split("=", 1)[1]))
         ]
+
+    def read(self, spark) -> DataFrame:
+        """Committed rows only (ledger-gated)."""
+        dirs = self._committed_dirs()
         if not dirs:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
         return spark.read.parquet(*dirs)
+
+    def batch_dirs_since(self, cutoff) -> list[str]:
+        """Committed batch dirs whose max event time (per-partition ledger
+        lineage, derived from parquet footer stats at commit time) is ≥
+        `cutoff` (a datetime). Batches without ts statistics are included
+        conservatively. This is the ledger-metadata analogue of partition
+        pruning: the ledger is consulted, never the data files, so
+        selecting the relevant suffix of a long-running stream's history
+        costs O(#batches) metadata — not O(rows)."""
+        import datetime as _dt
+
+        keep: list[str] = []
+        for entry in self.ledger():
+            mx: _dt.datetime | None = None
+            for p in entry.get("partitions", []):
+                raw = p.get("max_ts")
+                if raw in (None, "None"):
+                    continue
+                try:
+                    v = _dt.datetime.fromisoformat(raw)
+                except ValueError:
+                    continue
+                mx = v if mx is None else max(mx, v)
+            if mx is None or mx >= cutoff:
+                d = os.path.join(self.table_dir, f"batch={entry['batch_id']}")
+                if os.path.isdir(d):  # empty batches commit a ledger row only
+                    keep.append(d)
+        return keep

@@ -398,3 +398,98 @@ def test_delete_rule_events_stream(spark, tmp_path):
     )
     assert got == want and len(got) == 2
     assert all(r[0] == "entity_deleted" for r in got)
+
+
+def test_streaming_rule_seed_read_is_bounded(spark, tmp_path):
+    """The cooldown seed must read only committed rule-event batches
+    within max(cooldown) of the incoming batch's min event time (ledger
+    footer-stat pruning) — the read's input size is independent of how
+    many batches the stream has ever committed."""
+    from semstreams_spark.rules.engine import Condition, Rule
+    from semstreams_spark.streaming.rules_stage import StreamingRuleStage
+
+    rules = [
+        Rule(
+            id="r_cd",
+            conditions=(Condition("conv.turn.tool", "eq", "calc"),),
+            cooldown_seconds=120,
+        )
+    ]
+    stage = StreamingRuleStage(str(tmp_path), rules)
+    # 12 committed batches, one hour apart in event time — an "old" stream
+    for b in range(12):
+        ts = T0 + dt.timedelta(hours=b)
+        df = spark.createDataFrame(
+            [("r_cd", f"ent_{b}", ts)], "rule_id string, entity_id string, ts timestamp_ntz"
+        )
+        stage.sink(df, b)
+    assert len(stage.sink.ledger()) == 12
+
+    # a new batch starting at hour 11 + 30s: its 120s cooldown horizon
+    # reaches only batch 11 — the other 11 committed batches are pruned
+    # from the seed read via ledger metadata alone
+    min_ev = T0 + dt.timedelta(hours=11, seconds=30)
+    dirs = stage.seed_batch_dirs(min_ev)
+    assert len(dirs) == 1 and dirs[0].endswith("batch=11")
+
+    seed = stage.last_fires(spark, min_ev)
+    rows = seed.collect()
+    assert [(r["rule_id"], r["entity_id"]) for r in rows] == [("r_cd", "ent_11")]
+
+    # grow the history 2x with batches strictly older than the cutoff:
+    # the bounded read stays the same size
+    for b in range(12, 24):
+        ts = T0 + dt.timedelta(hours=(b - 12) % 10, minutes=30)
+        df = spark.createDataFrame(
+            [("r_cd", f"ent_old_{b}", ts)], "rule_id string, entity_id string, ts timestamp_ntz"
+        )
+        stage.sink(df, b)
+    assert len(stage.sink.ledger()) == 24
+    assert len(stage.seed_batch_dirs(min_ev)) == 1
+
+
+def test_streaming_rule_late_event_arrival_order(spark, tmp_path):
+    """Ordering-semantics pin: a LATE but in-watermark row finalized in a
+    LATER batch with an EARLIER event time follows the reference's
+    arrival-order mute semantics (rule_factory.go:24 checks elapsed-
+    since-lastFired at arrival): the late event arrives after the seeded
+    fire, so it is muted — it does NOT retroactively fire or reorder the
+    committed output (which a batch-global event-time rescan would)."""
+    from semstreams_spark.rules.engine import Condition, Rule
+    from semstreams_spark.streaming.rules_stage import StreamingRuleStage, rule_states_view
+
+    rules = [
+        Rule(
+            id="seen",
+            conditions=(Condition("entity.mentioned", "starts_with", "test."),),
+            cooldown_seconds=3600,
+        )
+    ]
+    stage = StreamingRuleStage(str(tmp_path), rules)
+
+    def delta_batch(rows):
+        # (subject, object, ts) mention triples in the delta-row shape
+        return spark.createDataFrame(
+            [("conv_x", 0, s, "conv.turn.mentions", o, "entity_ref", t, "triple") for s, o, t in rows],
+            "conv_id string, turn_idx int, subject string, predicate string, "
+            "object string, object_type string, ts timestamp_ntz, kind string",
+        )
+
+    ent = "test.local.graph.kb.entity.e1"
+    # condition matches the OBJECT of the entity-view row (= the original
+    # turn subject), so turn subjects must carry the "test." prefix
+    turn_a, turn_b = "test.local.conv.x.turn.a", "test.local.conv.x.turn.b"
+    t_fire = T0 + dt.timedelta(minutes=30)
+    t_late = T0 + dt.timedelta(minutes=10)  # earlier ts, later arrival
+    stage(delta_batch([(turn_a, ent, t_fire)]), 0)
+    stage(delta_batch([(turn_b, ent, t_late)]), 1)
+
+    got = sorted(map(tuple, stage.sink.read(spark).select("rule_id", "entity_id", "ts").collect()))
+    # only the first-arriving event fired; the late one was muted by the
+    # seeded fire even though its event time is earlier
+    assert got == [("seen", ent, t_fire)]
+
+    # sanity: rule_states_view keyed the mention to the entity
+    assert rule_states_view(delta_batch([("turn_a", ent, t_fire)])).filter(
+        F.col("subject") == ent
+    ).count() == 1
