@@ -224,3 +224,68 @@ def test_wav_decode_real_path(spark):
             ((i * 131 + j * 197) % 65536) - 32768 for j in range(n_frames)
         )
         assert len(wav) == 44 + 2 * n_frames  # the oracle's byte contract
+
+
+def test_png_decode_real_path(spark):
+    """Real (not stubbed) image decode: the stdlib zlib PNG decoder
+    round-trips the synthetic PNGs (all five scanline filter types) and
+    the Spark mapInPandas path reproduces the analytic pixel-sum
+    contract the gate's oracle recomputes."""
+    import numpy as np
+
+    from semstreams_spark.operators.multimodal import (
+        decode_png_features,
+        decode_png_pixels,
+        encode_png,
+        synth_png_bytes,
+        synthesize_png_media,
+    )
+
+    # codec roundtrip, RGB + RGBA, filtered + unfiltered
+    rng = np.random.default_rng(3)
+    for ch in (3, 4):
+        px = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        for fpr in (True, False):
+            assert np.array_equal(decode_png_pixels(encode_png(px, filter_per_row=fpr)), px)
+
+    # corrupt inputs raise ValueError (quarantine, never garbage)
+    good, _, _ = synth_png_bytes(1)
+    import pytest as _pytest
+
+    for bad in (b"nope", good[:20], good[:60], good.replace(b"IDAT", b"IDAX")):
+        with _pytest.raises(ValueError):
+            decode_png_pixels(bad)
+
+    # Spark path matches the analytic generator contract
+    media = synthesize_png_media(spark, n=12)
+    out = {r["media_id"]: r for r in decode_png_features(media).collect()}
+    assert len(out) == 12
+    for i in (0, 5, 11):
+        w, h = 8 + (i % 4) * 8, 8 + (i % 3) * 8
+        p = np.arange(h * w * 3, dtype=np.int64)
+        v = (i * 131 + p * 197) % 256
+        r = out[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_all"] == int(v.sum())
+        assert r["sum_r"] == int(v[p % 3 == 0].sum())
+        assert r["sum_b"] == int(v[p % 3 == 2].sum())
+
+
+def test_image_features_use_real_png_decode(spark):
+    """extract_image_features detects the PNG signature and decodes for
+    real: means/brightness equal the analytic pixel means, not the
+    content-hash fake."""
+    import numpy as np
+
+    from semstreams_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_png_media,
+    )
+
+    feats = {r["media_id"]: r for r in extract_image_features(synthesize_png_media(spark, n=6)).collect()}
+    i = 2
+    w, h = 8 + (i % 4) * 8, 8 + (i % 3) * 8
+    p = np.arange(h * w * 3, dtype=np.int64)
+    v = ((i * 131 + p * 197) % 256).reshape(h, w, 3)
+    assert abs(feats[i]["brightness"] - v.mean()) < 1e-9
+    assert abs(feats[i]["mean_g"] - v[:, :, 1].mean()) < 1e-9

@@ -101,23 +101,32 @@ def test_redelivery_dedup(spark, tmp_path):
     assert n_type_triples == 3  # not 5
 
 
-def test_exactly_once_resume_after_injected_failure(spark, tmp_path):
-    """Crash after data write but before ledger commit at batch 2; restart
-    must neither lose nor duplicate rows (north-rule W5/W7)."""
+@pytest.mark.parametrize("commit_mode", ["rename", "manifest"])
+def test_exactly_once_resume_after_injected_failure(spark, tmp_path, commit_mode):
+    """Crash after data write (and manifest PUT, in manifest mode) but
+    before ledger commit at batch 2; restart must neither lose nor
+    duplicate rows (north-rule W5/W7). Parameterized over both commit
+    modes: POSIX rename and the object-store-safe manifest listing."""
     indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
     for i in range(4):
         _write_file(indir, f"f{i}.parquet", _mk_rows(f"c{i}", 3, T0 + dt.timedelta(minutes=i)))
 
     stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
     q, sink = build_ingest_stream(
-        stream, outdir, checkpoint_dir=ckpt, watermark="2 days", fail_at_batch=2
+        stream, outdir, checkpoint_dir=ckpt, watermark="2 days", fail_at_batch=2,
+        commit_mode=commit_mode,
     )
     with pytest.raises(Exception):
         q.awaitTermination()
 
+    # the crashed batch's rows are invisible to readers in BOTH modes:
+    # its data (and manifest) exist on disk, but the ledger gates reads
+    assert sink.read(spark).filter(F.col("conv_id") == "c2").count() == 0
     # restart from checkpoint, no injected failure
     stream2 = read_transcript_stream(spark, indir, max_files_per_trigger=1)
-    q2, sink2 = build_ingest_stream(stream2, outdir, checkpoint_dir=ckpt, watermark="2 days")
+    q2, sink2 = build_ingest_stream(
+        stream2, outdir, checkpoint_dir=ckpt, watermark="2 days", commit_mode=commit_mode
+    )
     q2.awaitTermination()
 
     out = sink2.read(spark).filter(F.col("kind") == "triple")
