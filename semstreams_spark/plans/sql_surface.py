@@ -1,0 +1,125 @@
+"""SQL-facing query surface: the engine's graph tables as temp views so
+every SURVEY §2.11 query runs via ``spark.sql(...)`` alone — no Python
+imports needed by the client.
+
+The reference exposes its query surface as a NATS request/reply API
+(``processor/graph/queries.go:99-396``); a registered SQL catalog is the
+Spark-native equivalent — usable from any JDBC/Thrift/SQL client, and
+every query stays a Catalyst plan with pushdown/pruning intact (the
+views are plain DataFrames, not materialized copies).
+
+Views registered (optionally prefixed):
+  triples        — (subject, predicate, object, object_type, source,
+                    ts, confidence, context, seq) extraction output
+  entity_states  — flat LWW state (one row per live (subject, predicate))
+  nodes          — (id, type, status, version, updated_at)
+  edges          — (src, dst, edge_type, weight, created_at, updated_at,
+                    n_obs [, expires_at])
+  transcripts    — the raw input table
+
+Helper SQL (predicate_to_edge_type, entity type extraction) registers as
+Spark SQL functions so queries can reuse the same derivations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extract import extract_triples
+from ..operators.merge import edges_table, entity_states, nodes_table
+
+
+def register_graph_views(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    prefix: str = "",
+    cache_triples: bool = False,
+) -> dict[str, DataFrame]:
+    """Register the derived graph tables as temp views; returns them.
+
+    ``cache_triples`` persists the extraction output before fan-out —
+    worth it when several SQL queries run against one registration (the
+    three derived views all consume it); leave False for one-shot use.
+    On a lakehouse deployment these would be real tables maintained by
+    the streaming job (streaming/publish.py) and this function would
+    just bind names.
+    """
+    triples = extract_triples(transcripts)
+    if cache_triples:
+        triples = triples.cache()
+    views = {
+        "transcripts": transcripts,
+        "triples": triples,
+        "entity_states": entity_states(triples),
+        "nodes": nodes_table(triples),
+        "edges": edges_table(triples),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(prefix + name)
+    _register_sql_functions(spark)
+    return views
+
+
+def _register_sql_functions(spark: SparkSession) -> None:
+    """SQL-reachable forms of the engine's derivations — SQL-defined
+    functions (Spark 4 ``CREATE FUNCTION ... RETURN expr``), so they stay
+    whole-stage-codegen expressions, never Python UDFs."""
+    # predicate -> edge_type: 'a.b.c' -> 'c_b' (operators.merge contract,
+    # reference messagemanager/processor.go:501-515)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION predicate_to_edge_type(p STRING)
+        RETURNS STRING
+        RETURN CASE WHEN size(split(p, '\\\\.')) >= 2
+          THEN concat_ws('_', element_at(split(p, '\\\\.'), -1),
+                              element_at(split(p, '\\\\.'), -2))
+          ELSE p END
+        """
+    )
+    # entity type = 5th dot-part of the 6-part id (processor.go:517-526)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION entity_type_of(id STRING)
+        RETURNS STRING
+        RETURN element_at(split(id, '\\\\.'), 5)
+        """
+    )
+
+
+# SQL text for the §2.11 queries — importable by clients that want the
+# canonical statements, and exercised verbatim by tests/test_sql_surface.
+SQL_QUERIES = {
+    # GetEntity (datamanager/manager.go:805-849)
+    "get_entity": "SELECT * FROM nodes WHERE id = '{entity_id}'",
+    # QueryByPredicate (indexmanager/manager.go:1133-1221)
+    "query_by_predicate": (
+        "SELECT DISTINCT subject FROM triples WHERE predicate = '{predicate}'"
+    ),
+    # QueryTemporal (indexmanager/manager.go:1284-1353)
+    "query_temporal": (
+        "SELECT * FROM triples WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'"
+    ),
+    # Relationships in/out/both (querymanager/query.go:112-170,348-423)
+    "relationships_in": "SELECT * FROM edges WHERE dst = '{entity_id}'",
+    "relationships_both": (
+        "SELECT DISTINCT src, dst, edge_type FROM edges "
+        "WHERE src = '{entity_id}' OR dst = '{entity_id}'"
+    ),
+    # GraphSnapshot (queries.go:99-396): nodes + edges in a time range,
+    # deterministic truncation
+    "graph_snapshot_nodes": (
+        "SELECT id, type, version, updated_at FROM nodes "
+        "WHERE updated_at >= TIMESTAMP '{start}' AND updated_at < TIMESTAMP '{end}' "
+        "ORDER BY id LIMIT {max_nodes}"
+    ),
+    # J5 reverse-edge top-N
+    "incoming_top": (
+        "SELECT dst, SUM(n_obs) AS n_incoming FROM edges GROUP BY dst "
+        "ORDER BY n_incoming DESC, dst ASC LIMIT {k}"
+    ),
+}
+
+
+def sql(spark: SparkSession, name: str, **params) -> DataFrame:
+    """Run a canonical §2.11 query by name with parameters substituted."""
+    return spark.sql(SQL_QUERIES[name].format(**params))
