@@ -70,6 +70,8 @@ def batch_queries(spark, sf_dir, reps: int = 3):
         # round-3 additions: trained-centroid IVF + real WAV decode
         "ivf_topk",
         "media_wav_decode",
+        # round-4 addition: real stdlib PNG decode
+        "media_png_decode",
     ]
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(reps):
@@ -82,6 +84,42 @@ def batch_queries(spark, sf_dir, reps: int = 3):
             # inflating whatever query happened to run last); cleanup is
             # outside the timed window — a real deployment runs one query
             # per session/job, not 57 back-to-back in one JVM
+            spark.catalog.clearCache()
+        gc.collect()
+    mins = {n: round(min(ts), 3) for n, ts in times.items()}
+    medians = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    return mins, medians
+
+
+# Heaviest transcript-derived queries — runnable at ANY scale factor
+# because their input is the deterministic generator, not the fixed
+# testdata tables. The big-sf section re-times these so fixed-cost
+# effects (task scheduling, JVM warmup) visibly amortize as walls grow.
+BIG_SF_QUERIES = [
+    "entity_states",
+    "rule_events",
+    "paths_2hop",
+    "lpa_hierarchy",
+    "graphrag_global",
+    "pagerank_entities",
+]
+
+
+def big_sf_queries(spark, big_sf: float, reps: int = 2):
+    """Time BIG_SF_QUERIES at a larger scale factor (interleaved reps,
+    min/median protocol — same estimator as batch_queries)."""
+    import statistics
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf_dir = f"sf{big_sf:g}"  # only the sf token matters to these queries
+    times: dict[str, list[float]] = {n: [] for n in BIG_SF_QUERIES}
+    for _ in range(reps):
+        for n in BIG_SF_QUERIES:
+            t0 = time.monotonic()
+            _noop_write(qs[n](spark, sf_dir))
+            times[n].append(time.monotonic() - t0)
             spark.catalog.clearCache()
         gc.collect()
     mins = {n: round(min(ts), 3) for n, ts in times.items()}
@@ -143,6 +181,12 @@ def main():
         help="interleaved suite passes for per-query min/median",
     )
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--big-sf",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_BIG_SF", "0.3")),
+        help="second scale point for ingest + heavy queries (0 disables)",
+    )
     args = ap.parse_args()
 
     from semstreams_spark.datagen import ensure_transcripts, sf_from_dir, transcripts_path
@@ -185,6 +229,7 @@ def main():
     ingest_walls = [round(w, 3) for w in walls]
 
     batch_p95_ms = None
+    big = None
     if not args.stream_only:
         # per-batch latency: 20 micro-batches
         _, _, per_batch = stream_ingest(
@@ -196,6 +241,35 @@ def main():
         queries.update(mins)
         queries_median.update(medians)
         total += sum(mins.values())
+
+        # second scale point (north-rule scale credibility): ingest + the
+        # heaviest transcript-derived queries at big_sf, same min/median
+        # protocol — validates the T = F + W/cores model beyond sf0.1,
+        # where fixed costs are a large share of short walls
+        if args.big_sf and args.big_sf > 0:
+            ensure_transcripts(args.big_sf)
+            big_walls = []
+            big_turns = 0
+            for i in range(3):  # 1 discarded warmup + 2 timed
+                w_, big_turns, _ = stream_ingest(
+                    spark,
+                    transcripts_path(args.big_sf),
+                    workdir,
+                    n_files=args.cores * 2,
+                    mfpt=args.cores * 2,
+                )
+                if i > 0:
+                    big_walls.append(w_)
+            bmins, bmedians = big_sf_queries(spark, args.big_sf, reps=2)
+            big = {
+                "sf": args.big_sf,
+                "ingest_wall": round(min(big_walls), 3),
+                "ingest_walls": [round(w, 3) for w in big_walls],
+                "turns_per_sec": round(big_turns / min(big_walls), 1),
+                "n_turns": big_turns,
+                "queries": bmins,
+                "queries_median": bmedians,
+            }
 
     print(
         json.dumps(
@@ -211,6 +285,7 @@ def main():
                 "n_turns": n_turns,
                 "ingest_walls": ingest_walls,
                 "batch_p95_ms": batch_p95_ms,
+                "big": big,
                 "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "cores": args.cores,
             }

@@ -64,8 +64,14 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1))
 
 
-def generate_transcripts(sf: float, seed: int = SEED):
-    """Return (table, aliases_table) as pyarrow Tables. Pure numpy, vectorized."""
+def generate_transcripts(sf: float, seed: int = SEED, hot_factor: int = 50):
+    """Return (table, aliases_table) as pyarrow Tables. Pure numpy, vectorized.
+
+    hot_factor: multiplier on the ~1% hot conversations' sizes (default
+    50 — the canonical skewed dataset; pass 1 for a skew-free control
+    corpus, used by tools/skew_bench.py to isolate hot-key cost in the
+    conv_id-keyed stateful stages). The default path is bit-identical to
+    the pre-parameter generator: the same rng draws happen either way."""
     rng = np.random.default_rng(seed + int(round(sf * 100000)))
     target_turns = max(1000, int(TURNS_PER_SF * sf))
     # avg base size ~12; 1% hot convs at ~50x
@@ -74,7 +80,7 @@ def generate_transcripts(sf: float, seed: int = SEED):
     sizes = rng.poisson(10, n_convs).astype(np.int64) + 2
     n_hot = max(1, n_convs // 100)
     hot_idx = rng.choice(n_convs, size=n_hot, replace=False)
-    sizes[hot_idx] = sizes[hot_idx] * 50
+    sizes[hot_idx] = sizes[hot_idx] * hot_factor
 
     total = int(sizes.sum())
     conv_num = np.repeat(np.arange(n_convs, dtype=np.int64), sizes)

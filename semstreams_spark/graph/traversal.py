@@ -139,17 +139,17 @@ def traversal_paths(
     frontier = spark.createDataFrame([([start], 0, 1.0)], "path array<string>, depth int, score double")
     levels = [frontier]
     truncated = False
+    n_frontier = 1  # tracked incrementally — no re-count of a frontier
     with iteration_shuffle_width(spark, n_edges):
         for d in range(1, max_depth + 1):
             if max_time_s is not None and time.monotonic() - t0 >= max_time_s:
                 truncated = True
                 break
-            if per_hop_cap is not None:
+            if per_hop_cap is not None and n_frontier > per_hop_cap:
                 capped = frontier.orderBy(F.desc("score"), F.asc("path")).limit(per_hop_cap)
-                capped = capped.localCheckpoint(eager=True)
-                if capped.count() < frontier.count():
-                    truncated = True
-                frontier = capped
+                frontier = capped.localCheckpoint(eager=True)
+                n_frontier = per_hop_cap
+                truncated = True
             last = F.element_at(F.col("path"), -1)
             nxt = (
                 frontier.join(e, last == e["src"])
@@ -161,7 +161,8 @@ def traversal_paths(
                 )
             )
             nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
-            if nxt.isEmpty():
+            n_frontier = nxt.count()  # counts checkpointed blocks, no recompute
+            if n_frontier == 0:
                 break
             levels.append(nxt)
             frontier = nxt
