@@ -248,13 +248,16 @@ def main():
         # where fixed costs are a large share of short walls
         if args.big_sf and args.big_sf > 0:
             ensure_transcripts(args.big_sf)
+            # own workdir: stream_ingest keys its staged input on
+            # n_files only, which would silently reuse the sf0.1 split
+            big_workdir = os.path.join(workdir, f"big_sf{args.big_sf:g}")
             big_walls = []
             big_turns = 0
             for i in range(3):  # 1 discarded warmup + 2 timed
                 w_, big_turns, _ = stream_ingest(
                     spark,
                     transcripts_path(args.big_sf),
-                    workdir,
+                    big_workdir,
                     n_files=args.cores * 2,
                     mfpt=args.cores * 2,
                 )
