@@ -115,3 +115,22 @@ def test_pagerank_exact_no_cartesian_blowup(spark):
     assert "CartesianProduct" not in p
     ranks = {r["entity"]: r["rank"] for r in pr.collect()}
     assert abs(sum(ranks.values()) - 10**12) < 100  # mass conserved to ulp
+
+
+def test_incoming_top_consolidated_gate_still_works(spark):
+    """q_incoming_top was unregistered in the r4 gate consolidation
+    (J5 stays value-gated via rels_in_entity); the callable remains part
+    of the surface — pin its shape and agreement with the edge table."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    rows = entry.q_incoming_top(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert rows[0]["n_incoming"] >= rows[-1]["n_incoming"]
+    # counts agree with the mention-triple definition
+    triples = entry.q_triples_extract(spark, "/root/testdata/sf0.001")
+    top_dst = rows[0]["dst"]
+    want = triples.filter(
+        (F.col("predicate") == "conv.turn.mentions") & (F.col("object") == top_dst)
+    ).count()
+    assert rows[0]["n_incoming"] == want
