@@ -1,0 +1,473 @@
+"""Real baseline JPEG codec — stdlib + numpy only (no codec libraries).
+
+Closes the remaining "compressed media codec" gap honestly: a complete
+baseline sequential JPEG (ITU-T T.81) encoder + decoder — entropy-coded
+Huffman bitstream, DC prediction, AC run-length with EOB/ZRL, zigzag,
+quantization, 8x8 DCT — for the cases our fixtures (and most camera /
+library output in baseline mode) produce:
+
+- supported: SOI/APP0/DQT/SOF0/DHT/SOS/EOI marker stream, 8-bit samples,
+  1-component grayscale and 3-component YCbCr at 4:4:4 (no chroma
+  subsampling), interleaved single scan, byte-stuffed entropy data.
+- rejected with ValueError (quarantine, never garbage): progressive
+  (SOF2), subsampled chroma, restart intervals, 12-bit, arithmetic
+  coding.
+
+Unlike the PNG/WAV paths there is NO analytic DuckDB oracle: JPEG is
+lossy, so decoded pixels are determined by float DCT math that SQL can't
+reasonably mirror. Verification is therefore pytest-only (the r3/r4
+consolidation precedent for operators without a relational result):
+roundtrip error bounds at several qualities, an entropy-coding
+equivalence check against independently dequantized coefficients, and
+corrupt-input handling. Reference semantics anchor: the multimodal
+decode surface (indexmanager media intent), SURVEY "multimodal columns".
+
+DCT note: FDCT/IDCT use the orthonormal 8x8 DCT-II matrix in float64;
+encoder and decoder share it, and the quantizer uses the libjpeg
+quality→scale formula so quality=50 reproduces the Annex K tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K base quantization tables (luminance, chrominance)
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K typical Huffman tables: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Orthonormal 8x8 DCT-II matrix: spatial = C.T @ coef @ C, coef = C @ spatial @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.sqrt((1 if _k == 0 else 2) / 8) * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling: 50 → Annex K tables verbatim."""
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QT_LUMA, QT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------- Huffman
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the decoder's bit-at-a-time walk."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 magnitude category + appended bits for value v."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------- color
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y, cb, cr = px[..., 0], px[..., 1] - 128.0, px[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------- encoder
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) RGB or (H, W) grayscale uint8 → baseline JPEG bytes
+    (4:4:4, single interleaved scan, Annex K Huffman tables)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qt_l, qt_c = quant_tables(quality)
+    planes = (
+        [pixels.astype(np.float64)]
+        if gray
+        else list(np.moveaxis(_rgb_to_ycbcr(pixels.astype(np.float64)), -1, 0))
+    )
+    qts = [qt_l] + ([] if gray else [qt_c, qt_c])
+
+    # pad to 8x8 blocks by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    )
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    )
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(padded):
+                block = plane[by : by + 8, bx : bx + 8] - 128.0
+                coef = _C @ block @ _C.T
+                q = np.round(coef / qts[ci]).astype(np.int64)
+                zz = q.reshape(-1)[ZIGZAG]
+                # DC
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, mbits = _magnitude(diff)
+                c, ln = dc_codes[ci][size]
+                bw.write(c, ln)
+                if size:
+                    bw.write(mbits, size)
+                # AC
+                run = 0
+                last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[ci][0xF0]  # ZRL
+                        bw.write(c, ln)
+                        run -= 16
+                    size, mbits = _magnitude(v)
+                    c, ln = ac_codes[ci][(run << 4) | size]
+                    bw.write(c, ln)
+                    bw.write(mbits, size)
+                    run = 0
+                if last_nz < 62:  # trailing zeros → EOB
+                    c, ln = ac_codes[ci][0x00]
+                    bw.write(c, ln)
+    bw.flush()
+
+    # ---- marker stream
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate([qt_l] + ([] if gray else [qt_c])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in qt.reshape(-1)[ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, qt id
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc_id, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_id])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) RGB or (H, W, 1) grayscale uint8.
+
+    Full entropy decode: DHT tables are parsed from the FILE (not assumed
+    to be Annex K), DC prediction, AC run-length with EOB/ZRL, dezigzag,
+    dequantize, IDCT, color convert. Raises ValueError on anything
+    outside the supported baseline 4:4:4 profile."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, qt_id)])
+    scan_comps = None
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qts[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], struct.unpack(">H", body[1:3])[0], struct.unpack(">H", body[3:5])[0], body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_comps is None or data_start is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    h, w, comps = frame
+    ncomp = len(comps)
+    if len(scan_comps) != ncomp:
+        raise ValueError("non-interleaved scans unsupported")
+    # entropy data runs to EOI
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("truncated JPEG (no EOI)")
+    br = _BitReader(payload[data_start:end])
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
+    pred = [0] * ncomp
+    comp_tables = []
+    for (cid, tq), (scid, td, ta) in zip(comps, scan_comps):
+        if cid != scid:
+            raise ValueError("scan/frame component order mismatch")
+        comp_tables.append((qts[tq], dc_maps[td], ac_maps[ta]))
+
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                qt, dc_map, ac_map = comp_tables[ci]
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.decode_symbol(dc_map)
+                diff = _extend(br.bits(size), size)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = br.decode_symbol(ac_map)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz * qt.reshape(-1)[ZIGZAG]
+                block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = block
+
+    img = np.stack([p[:h, :w] for p in planes], axis=-1)
+    if ncomp == 3:
+        img = _ycbcr_to_rgb(img)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def synth_jpeg_bytes(i: int, quality: int = 90) -> tuple[bytes, int, int]:
+    """Deterministic RGB JPEG for synthetic media row i: a smooth
+    gradient + low-frequency sine pattern (so quantization error is
+    bounded and the roundtrip test has teeth without being flaky)."""
+    w = 16 + (i % 3) * 8
+    h = 16 + (i % 2) * 8
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 90 * np.sin(2 * np.pi * (xx / w + i * 0.1))
+    g = 128 + 90 * np.cos(2 * np.pi * (yy / h - i * 0.07))
+    b = (xx / max(w - 1, 1) * 200 + yy / max(h - 1, 1) * 55)
+    px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return encode_jpeg(px, quality), w, h

@@ -1,15 +1,18 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-Two media families decode for REAL with stdlib only: WAV audio
-(``decode_wav_features``, via ``wave``) and non-interlaced 8-bit
+Three media families decode for REAL with stdlib + numpy only: WAV
+audio (``decode_wav_features``, via ``wave``), non-interlaced 8-bit
 RGB/RGBA PNG (``decode_png_pixels`` / ``decode_png_features``, via
-``zlib`` inflate + full scanline unfiltering including Paeth). Codecs
-that genuinely need external libraries (JPEG/MP4) remain stubbed behind
-``decode_available()`` with a deterministic fake; everything Spark-side
-is real and tested either way: schema, partition-friendly layout, Arrow
-batch shapes, ``mapInPandas`` UDF signatures, and the
-feature-extraction pipeline over binary columns.
+``zlib`` inflate + full scanline unfiltering including Paeth), and
+baseline 4:4:4 JPEG (``operators/jpeg.py`` — complete Huffman entropy
+decode, DC prediction, AC run-length, dequantize, IDCT, color convert;
+pytest-verified since lossy output has no analytic SQL oracle). Only
+video containers (MP4) remain stubbed behind ``decode_available()``
+with a deterministic fake; everything Spark-side is real and tested
+either way: schema, partition-friendly layout, Arrow batch shapes,
+``mapInPandas`` UDF signatures, and the feature-extraction pipeline
+over binary columns.
 
 Layout contract for a 100 TB media table:
   (media_id long, kind string ∈ {image,audio,video}, media binary,
@@ -62,15 +65,18 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     phash string) via Arrow-batched mapInPandas.
 
     Real Spark plumbing: binary column travels as Arrow binary; each
-    batch decodes vectorized; output is a narrow numeric frame. PNG
-    payloads (signature-detected) decode for REAL via the stdlib decoder
-    (decode_png_pixels); other formats use the deterministic stub unless
-    codec libs exist (decode_available()).
+    batch decodes vectorized; output is a narrow numeric frame. PNG and
+    baseline JPEG payloads (signature-detected) decode for REAL via the
+    stdlib decoders (decode_png_pixels / jpeg.decode_jpeg_pixels); other
+    formats use the deterministic stub unless codec libs exist
+    (decode_available()).
     """
     if decode_available():  # pragma: no cover - not in this image
         raise NotImplementedError("real decode path: swap _fake_decode for PIL")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg_pixels
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -81,6 +87,11 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
                 raw = bytes(payload)
                 if raw[:8] == _PNG_SIG:
                     px = decode_png_pixels(raw)[:, :, :3].astype(np.float64)
+                    h, w = px.shape[0], px.shape[1]
+                elif raw[:2] == b"\xff\xd8":
+                    px = decode_jpeg_pixels(raw).astype(np.float64)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
                     h, w = px.shape[0], px.shape[1]
                 else:
                     px = _fake_decode(raw, w, h).astype(np.float64)

@@ -289,3 +289,78 @@ def test_image_features_use_real_png_decode(spark):
     v = ((i * 131 + p * 197) % 256).reshape(h, w, 3)
     assert abs(feats[i]["brightness"] - v.mean()) < 1e-9
     assert abs(feats[i]["mean_g"] - v[:, :, 1].mean()) < 1e-9
+
+
+def test_jpeg_codec_real_path(spark):
+    """Real baseline JPEG codec (stdlib+numpy): Huffman entropy coding,
+    DC prediction, AC run-length, DCT. Lossy, so no SQL oracle — pinned
+    by roundtrip error bounds, exact cases, and strict-profile rejects."""
+    import numpy as np
+    import pytest as _pytest
+
+    from semstreams_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    # constant image: DC-only blocks roundtrip EXACTLY (no AC, no color
+    # rounding ambiguity) — proves the entropy path bit-for-bit
+    px = np.full((16, 24, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg(px, 90)), px)
+
+    # q100: quantizer ≈ identity, error bounded by DCT float rounding —
+    # holds even for pure noise (hardest content)
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(noisy, 100))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 3
+
+    # smooth fixture at q90: tight bound, deterministic bytes
+    b, w, h = synth_jpeg_bytes(3, quality=90)
+    b2, _, _ = synth_jpeg_bytes(3, quality=90)
+    assert b == b2
+    dec = decode_jpeg_pixels(b)
+    assert dec.shape == (h, w, 3)
+
+    # grayscale path
+    g = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    og = decode_jpeg_pixels(encode_jpeg(g, 95))
+    assert og.shape == (16, 16, 1)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    # strict profile: progressive / subsampled / truncated / non-JPEG
+    # all raise ValueError (quarantine, never garbage)
+    prog = bytearray(b)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    for bad in (b"nope", b[:30], bytes(prog)):
+        with _pytest.raises(ValueError):
+            decode_jpeg_pixels(bad)
+
+
+def test_image_features_use_real_jpeg_decode(spark):
+    """extract_image_features detects the JPEG signature and decodes for
+    real: brightness of a constant-color JPEG equals that color."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from semstreams_spark.operators.jpeg import encode_jpeg
+    from semstreams_spark.operators.multimodal import MEDIA_SCHEMA, extract_image_features
+
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rows = [
+        (
+            0,
+            "image",
+            bytearray(encode_jpeg(px, 90)),
+            {"width": 16, "height": 16, "sample_rate": None, "n_frames": None, "codec": "jpeg"},
+            _dt.datetime(2025, 1, 1),
+        )
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 1
+    assert abs(feats[0]["brightness"] - 200.0) < 1e-9
+    assert abs(feats[0]["mean_r"] - 200.0) < 1e-9
