@@ -149,7 +149,9 @@ def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90
     stream = read_transcript_stream(spark, indir, max_files_per_trigger=mfpt)
     t0 = time.monotonic()
     q, sink = build_ingest_stream(
-        stream, outdir, checkpoint_dir=ckpt, watermark=watermark, once=(mfpt >= n_files)
+        stream, outdir, checkpoint_dir=ckpt, watermark=watermark, once=(mfpt >= n_files),
+        # A/B the two exactly-once publish paths without code changes
+        commit_mode=os.environ.get("SPARK_GRAFT_COMMIT_MODE", "rename"),
     )
     q.awaitTermination()
     wall = time.monotonic() - t0
