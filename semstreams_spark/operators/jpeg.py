@@ -7,11 +7,12 @@ quantization, 8x8 DCT — for the cases our fixtures (and most camera /
 library output in baseline mode) produce:
 
 - supported: SOI/APP0/DQT/SOF0/DHT/SOS/EOI marker stream, 8-bit samples,
-  1-component grayscale and 3-component YCbCr at 4:4:4 (no chroma
-  subsampling), interleaved single scan, byte-stuffed entropy data.
+  1-component grayscale and 3-component YCbCr with sampling factors up
+  to 2x2 (4:4:4, 4:2:2, and the ubiquitous 4:2:0), interleaved single
+  scan, byte-stuffed entropy data, restart intervals (DRI + RSTn with
+  DC-predictor reset and byte alignment).
 - rejected with ValueError (quarantine, never garbage): progressive
-  (SOF2), subsampled chroma, restart intervals, 12-bit, arithmetic
-  coding.
+  (SOF2), 12-bit, arithmetic coding, sampling factors > 2.
 
 Unlike the PNG/WAV paths there is NO analytic DuckDB oracle: JPEG is
 lossy, so decoded pixels are determined by float DCT math that SQL can't
@@ -165,6 +166,12 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill per T.81
 
+    def restart_marker(self, n: int):
+        """Byte-align and emit RSTn (T.81 restart): flush pads with
+        1-bits, then the marker goes in UNstuffed."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -210,6 +217,21 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def align_restart(self, expected: int):
+        """Consume the next RSTn marker (T.81 restart boundary): drop the
+        bit remainder of the current byte, scan past any fill to the
+        marker, verify its modulo-8 sequence number."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                if (self.data[self.pos + 1] & 0x07) != (expected & 0x07):
+                    raise ValueError("restart marker out of sequence")
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing restart marker")
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """T.81 magnitude category + appended bits for value v."""
@@ -247,9 +269,53 @@ def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- encoder
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def _encode_block(bw, block, qt, dc_codes, ac_codes, pred_val):
+    """FDCT + quantize + entropy-code one 8x8 block; returns new DC pred."""
+    coef = _C @ (block - 128.0) @ _C.T
+    q = np.round(coef / qt).astype(np.int64)
+    zz = q.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred_val
+    size, mbits = _magnitude(diff)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(mbits, size)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, mbits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(mbits, size)
+        run = 0
+    if last_nz < 62:  # trailing zeros → EOB
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(H, W, 3) RGB or (H, W) grayscale uint8 → baseline JPEG bytes
-    (4:4:4, single interleaved scan, Annex K Huffman tables)."""
+    (single interleaved scan, Annex K Huffman tables).
+
+    subsample=True emits 4:2:0 (Y at 2x2 sampling, 2x2 box-averaged
+    chroma — the layout most real JPEGs use); False emits 4:4:4.
+    restart_interval=R emits DRI + an RSTn marker every R MCUs with DC
+    predictors reset — the decoder's restart path is exercised by the
+    roundtrip tests through this."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     qt_l, qt_c = quant_tables(quality)
@@ -259,10 +325,33 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         else list(np.moveaxis(_rgb_to_ycbcr(pixels.astype(np.float64)), -1, 0))
     )
     qts = [qt_l] + ([] if gray else [qt_c, qt_c])
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # pad to 8x8 blocks by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    # per-component plane, downsampled by (hmax/hi, vmax/vi), padded to
+    # its MCU grid by edge replication
+    comp_planes = []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            # box average: pad to factor multiple first
+            py = (p.shape[0] + fy - 1) // fy * fy
+            px_ = (p.shape[1] + fx - 1) // fx * fx
+            p2 = np.pad(p, ((0, py - p.shape[0]), (0, px_ - p.shape[1])), mode="edge")
+            p = p2.reshape(py // fy, fy, px_ // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        comp_planes.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
 
     dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
         [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
@@ -273,41 +362,29 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(padded):
-                block = plane[by : by + 8, bx : bx + 8] - 128.0
-                coef = _C @ block @ _C.T
-                q = np.round(coef / qts[ci]).astype(np.int64)
-                zz = q.reshape(-1)[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, mbits = _magnitude(diff)
-                c, ln = dc_codes[ci][size]
-                bw.write(c, ln)
-                if size:
-                    bw.write(mbits, size)
-                # AC
-                run = 0
-                last_nz = max(np.nonzero(zz[1:])[0], default=-1)
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac_codes[ci][0xF0]  # ZRL
-                        bw.write(c, ln)
-                        run -= 16
-                    size, mbits = _magnitude(v)
-                    c, ln = ac_codes[ci][(run << 4) | size]
-                    bw.write(c, ln)
-                    bw.write(mbits, size)
-                    run = 0
-                if last_nz < 62:  # trailing zeros → EOB
-                    c, ln = ac_codes[ci][0x00]
-                    bw.write(c, ln)
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i > 0 and mcu_i % restart_interval == 0:
+                bw.restart_marker(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            for ci, plane in enumerate(comp_planes):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        pred[ci] = _encode_block(
+                            bw,
+                            plane[y0 : y0 + 8, x0 : x0 + 8],
+                            qts[ci],
+                            dc_codes[ci],
+                            ac_codes[ci],
+                            pred[ci],
+                        )
+            mcu_i += 1
     bw.flush()
 
     # ---- marker stream
@@ -319,13 +396,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4, qt id
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
     huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
         huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for tc_id, bits, vals in huffs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_id])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -342,17 +421,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
     Full entropy decode: DHT tables are parsed from the FILE (not assumed
     to be Annex K), DC prediction, AC run-length with EOB/ZRL, dezigzag,
-    dequantize, IDCT, color convert. Raises ValueError on anything
-    outside the supported baseline 4:4:4 profile."""
+    dequantize, IDCT, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0 sampling
+    factors), restart intervals, color convert. Raises ValueError on
+    anything outside the supported baseline profile."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
-    frame = None  # (h, w, [(comp_id, qt_id)])
+    frame = None  # (h, w, [(comp_id, h_i, v_i, qt_id)])
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -389,14 +470,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factors {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F) for i in range(ns)]
@@ -416,44 +498,70 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG (no EOI)")
     br = _BitReader(payload[data_start:end])
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8)) for c in comps]
     pred = [0] * ncomp
     comp_tables = []
-    for (cid, tq), (scid, td, ta) in zip(comps, scan_comps):
+    for (cid, hi, vi, tq), (scid, td, ta) in zip(comps, scan_comps):
         if cid != scid:
             raise ValueError("scan/frame component order mismatch")
         comp_tables.append((qts[tq], dc_maps[td], ac_maps[ta]))
 
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):
-                qt, dc_map, ac_map = comp_tables[ci]
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.decode_symbol(dc_map)
-                diff = _extend(br.bits(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = br.decode_symbol(ac_map)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz * qt.reshape(-1)[ZIGZAG]
-                block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
+    def decode_block(ci):
+        qt, dc_map, ac_map = comp_tables[ci]
+        zz = np.zeros(64, dtype=np.int64)
+        size = br.decode_symbol(dc_map)
+        diff = _extend(br.bits(size), size)
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = br.decode_symbol(ac_map)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[ZIGZAG] = zz * qt.reshape(-1)[ZIGZAG]
+        return _C.T @ coef.reshape(8, 8) @ _C + 128.0
 
-    img = np.stack([p[:h, :w] for p in planes], axis=-1)
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i > 0 and mcu_i % restart_interval == 0:
+                br.align_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for ci, (_, hi, vi, _tq) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = decode_block(ci)
+            mcu_i += 1
+
+    # upsample subsampled components by replication, crop to (h, w)
+    full = []
+    for ci, (_, hi, vi, _tq) in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        full.append(p[:h, :w])
+    img = np.stack(full, axis=-1)
     if ncomp == 3:
         img = _ycbcr_to_rgb(img)
     return np.clip(np.round(img), 0, 255).astype(np.uint8)

@@ -364,3 +364,56 @@ def test_image_features_use_real_jpeg_decode(spark):
     assert len(feats) == 1
     assert abs(feats[0]["brightness"] - 200.0) < 1e-9
     assert abs(feats[0]["mean_r"] - 200.0) < 1e-9
+
+
+def test_jpeg_subsampling_and_restart_intervals(spark):
+    """The decoder handles the layouts real JPEGs actually use: 4:2:0
+    chroma subsampling (luma near-exact, chroma error bounded) and
+    restart intervals (DRI + RSTn with DC-predictor reset), including
+    non-multiple-of-16 dimensions and out-of-sequence marker detection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from semstreams_spark.operators.jpeg import (
+        _rgb_to_ycbcr,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+
+    # restart intervals are transparent to content
+    out = decode_jpeg_pixels(encode_jpeg(px, 100, restart_interval=2))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+    # 4:2:0: luma carries full resolution; chroma is box-averaged
+    yy, xx = np.mgrid[0:40, 0:56].astype(np.float64)
+    sm = np.clip(
+        np.round(
+            np.stack(
+                [128 + 80 * np.sin(2 * np.pi * xx / 56), 128 + 80 * np.cos(2 * np.pi * yy / 40), xx * 2 + yy],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    o420 = decode_jpeg_pixels(encode_jpeg(sm, 95, subsample=True))
+    y_err = np.abs(
+        _rgb_to_ycbcr(sm.astype(np.float64))[..., 0] - _rgb_to_ycbcr(o420.astype(np.float64))[..., 0]
+    )
+    assert y_err.max() <= 3  # luma near-exact
+    assert np.abs(o420.astype(int) - sm.astype(int)).max() <= 16  # chroma bounded
+
+    # odd (non-MCU-multiple) dims through the subsampled + restart path
+    odd = sm[:37, :51]
+    o2 = decode_jpeg_pixels(encode_jpeg(odd, 95, subsample=True, restart_interval=3))
+    assert o2.shape == (37, 51, 3)
+
+    # an out-of-sequence restart marker is an error, not silent corruption
+    b1 = bytearray(encode_jpeg(px, 100, restart_interval=2))
+    i = next(j for j in (b1.find(bytes([0xFF, 0xD0 + k])) for k in range(8)) if j > 0)
+    b1[i + 1] = 0xD7 if b1[i + 1] != 0xD7 else 0xD6
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(b1))
