@@ -434,12 +434,27 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     scan_comps = None
     data_start = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip padding until the marker id byte
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        # standalone (length-less) markers valid between header segments:
+        # TEM (0x01), RST0-7 (0xD0-0xD7), repeated SOI (0xD8)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0x00:
+            raise ValueError("marker sync lost")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:

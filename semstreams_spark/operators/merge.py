@@ -80,7 +80,13 @@ def nodes_table(triples: DataFrame) -> DataFrame:
             F.count_distinct("ts", "seq").alias("version"),
             F.max("ts").alias("updated_at"),
         )
-        .withColumn("type", F.split(F.col("id"), r"\.")[4])
+        # try_element_at + coalesce: an id with fewer than 5 dot-parts
+        # falls back to 'entity' like the reference (processor.go:517-526)
+        # instead of raising INVALID_ARRAY_INDEX under ANSI mode
+        .withColumn(
+            "type",
+            F.coalesce(F.try_element_at(F.split(F.col("id"), r"\."), F.lit(5)), F.lit("entity")),
+        )
         .withColumn("status", F.lit("active"))
         .select("id", "type", "status", "version", "updated_at")
     )

@@ -85,13 +85,22 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
                 w = int(meta["width"] or 8)
                 h = int(meta["height"] or 8)
                 raw = bytes(payload)
-                if raw[:8] == _PNG_SIG:
-                    px = decode_png_pixels(raw)[:, :, :3].astype(np.float64)
-                    h, w = px.shape[0], px.shape[1]
-                elif raw[:2] == b"\xff\xd8":
-                    px = decode_jpeg_pixels(raw).astype(np.float64)
-                    if px.shape[2] == 1:
-                        px = np.repeat(px, 3, axis=2)
+                # signature-detected real decode; any in-profile-looking
+                # but unsupported payload (progressive JPEG, interlaced/
+                # 16-bit PNG, truncated bytes) must NOT fail the whole
+                # Spark job — per the decoders' documented contract the
+                # ValueError signals "fall back / quarantine the row"
+                px = None
+                try:
+                    if raw[:8] == _PNG_SIG:
+                        px = decode_png_pixels(raw)[:, :, :3].astype(np.float64)
+                    elif raw[:2] == b"\xff\xd8":
+                        px = decode_jpeg_pixels(raw).astype(np.float64)
+                        if px.shape[2] == 1:
+                            px = np.repeat(px, 3, axis=2)
+                except ValueError:
+                    px = None
+                if px is not None:
                     h, w = px.shape[0], px.shape[1]
                 else:
                     px = _fake_decode(raw, w, h).astype(np.float64)

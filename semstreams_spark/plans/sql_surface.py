@@ -76,12 +76,16 @@ def _register_sql_functions(spark: SparkSession) -> None:
           ELSE p END
         """
     )
-    # entity type = 5th dot-part of the 6-part id (processor.go:517-526)
+    # entity type = 5th dot-part of the 6-part id (processor.go:517-526);
+    # ids with fewer parts fall back to 'entity' exactly like the
+    # reference's default branch — try_element_at instead of element_at
+    # because ANSI mode (Spark 4 default) makes an out-of-range
+    # element_at fail the whole query
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION entity_type_of(id STRING)
         RETURNS STRING
-        RETURN element_at(split(id, '\\\\.'), 5)
+        RETURN coalesce(try_element_at(split(id, '\\\\.'), 5), 'entity')
         """
     )
 

@@ -34,6 +34,18 @@ metrics" requirement and feed BENCH reporting. The ledger's footer-stat
 min/max event times double as pruning metadata
 (``batch_dirs_since``) — the streaming rule stage bounds its cooldown
 seed reads with them.
+
+Ledger metadata reads are BOUNDED (round-5): every ``compact_every``
+commits the sink writes ``_ledger/_checkpoint.json`` holding the
+compacted entries (batch_id, rows, max event ts) for the whole prefix —
+the Delta ``_last_checkpoint`` shape. Readers load the latest checkpoint
+plus the per-batch suffix ONCE and the live sink keeps the compact index
+in memory, so per-trigger pruning (``batch_dirs_since``) costs O(1) file
+opens in steady state and O(compact_every) after a restart — independent
+of total stream age. Full per-partition lineage stays in the per-batch
+ledger JSONs for audit (``ledger()``), off the hot path. Reference
+anchor: the KV bucket is a point-lookup store
+(``processor/graph/datamanager/manager.go:693-743``), never a scan.
 """
 
 from __future__ import annotations
@@ -47,17 +59,26 @@ from pyspark.sql import DataFrame
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, table_dir: str, commit_mode: str = "rename"):
+    def __init__(self, table_dir: str, commit_mode: str = "rename", compact_every: int = 16):
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"unknown commit_mode: {commit_mode!r}")
         self.table_dir = table_dir
         self.commit_mode = commit_mode
+        self.compact_every = max(1, compact_every)
         self.ledger_dir = os.path.join(table_dir, "_ledger")
         self.staging_dir = os.path.join(table_dir, "_staging")
         self.manifest_dir = os.path.join(table_dir, "_manifests")
         os.makedirs(self.ledger_dir, exist_ok=True)
         if commit_mode == "manifest":
             os.makedirs(self.manifest_dir, exist_ok=True)
+        # compact in-memory ledger index: batch_id -> {batch_id, rows,
+        # max_ts}; backed by _checkpoint.json + per-batch suffix. None
+        # until first read/commit. ledger_file_reads counts metadata file
+        # opens so tests can assert per-trigger reads are bounded.
+        self._centries: dict[int, dict] | None = None
+        self._ckpt_upto = -1
+        self._n_since_ckpt = 0
+        self.ledger_file_reads = 0
 
     # -- ledger -------------------------------------------------------------
     def _ledger_path(self, batch_id: int) -> str:
@@ -66,16 +87,107 @@ class ExactlyOnceParquetSink:
     def _manifest_path(self, batch_id: int) -> str:
         return os.path.join(self.manifest_dir, f"{batch_id}.json")
 
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.ledger_dir, "_checkpoint.json")
+
     def committed(self, batch_id: int) -> bool:
         return os.path.exists(self._ledger_path(batch_id))
 
     def ledger(self) -> list[dict]:
+        """FULL per-batch entries (per-partition lineage, wall times) —
+        the audit path. O(#batches) file reads by design; the per-trigger
+        hot path uses the compact index (``_compact_entries``) instead."""
         out = []
         for f in sorted(os.listdir(self.ledger_dir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.startswith("_"):
+                self.ledger_file_reads += 1
                 with open(os.path.join(self.ledger_dir, f)) as fh:
                     out.append(json.load(fh))
+        out.sort(key=lambda e: e["batch_id"])
         return out
+
+    @staticmethod
+    def _compact_entry(entry: dict) -> dict:
+        """Reduce a full ledger entry to what pruning/reading needs:
+        (batch_id, rows, max event ts). max_ts is None — meaning "always
+        include conservatively" — unless every NON-EMPTY partition carries
+        a parseable max_ts: any partition holding rows but no usable stat
+        could be the true max, so it forces conservative inclusion (not
+        just the all-missing case). Empty part files (rows == 0 — routine
+        with wide parallelism on small batches) hold no events and never
+        force inclusion."""
+        import datetime as _dt
+
+        mx: _dt.datetime | None = None
+        unknown = False
+        for p in entry.get("partitions", []):
+            if p.get("rows", 1) == 0:
+                continue
+            raw = p.get("max_ts")
+            v = None
+            if raw not in (None, "None"):
+                try:
+                    v = _dt.datetime.fromisoformat(raw)
+                except ValueError:
+                    v = None
+            if v is None:
+                unknown = True
+            else:
+                mx = v if mx is None else max(mx, v)
+        return {
+            "batch_id": entry["batch_id"],
+            "rows": entry.get("rows", 0),
+            "max_ts": None if (unknown or mx is None) else mx.isoformat(),
+        }
+
+    def _compact_entries(self) -> dict[int, dict]:
+        """The compact ledger index, loaded once per sink object: latest
+        checkpoint (one file) + per-batch suffix (< compact_every files in
+        steady state), then maintained in memory by the committer."""
+        if self._centries is not None:
+            return self._centries
+        entries: dict[int, dict] = {}
+        upto = -1
+        if os.path.exists(self._ckpt_path()):
+            self.ledger_file_reads += 1
+            with open(self._ckpt_path()) as fh:
+                ck = json.load(fh)
+            upto = ck["upto"]
+            entries = {e["batch_id"]: e for e in ck["entries"]}
+        n_suffix = 0
+        for f in os.listdir(self.ledger_dir):
+            if not f.endswith(".json") or f.startswith("_"):
+                continue
+            bid = int(f[: -len(".json")])
+            if bid <= upto:
+                continue
+            self.ledger_file_reads += 1
+            with open(os.path.join(self.ledger_dir, f)) as fh:
+                entries[bid] = self._compact_entry(json.load(fh))
+            n_suffix += 1
+        self._centries = entries
+        self._ckpt_upto = upto
+        self._n_since_ckpt = n_suffix
+        return entries
+
+    def _record_commit(self, entry: dict) -> None:
+        """Maintain the compact index after a commit; write the checkpoint
+        every compact_every commits (atomic tmp+replace — readers see the
+        old or new checkpoint, never a torn one)."""
+        entries = self._compact_entries()
+        entries[entry["batch_id"]] = self._compact_entry(entry)
+        self._n_since_ckpt += 1
+        if self._n_since_ckpt >= self.compact_every:
+            upto = max(entries)
+            tmp = self._ckpt_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"upto": upto, "entries": sorted(entries.values(), key=lambda e: e["batch_id"])},
+                    fh,
+                )
+            os.replace(tmp, self._ckpt_path())
+            self._ckpt_upto = upto
+            self._n_since_ckpt = 0
 
     # -- the foreachBatch callable -------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -96,6 +208,7 @@ class ExactlyOnceParquetSink:
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
         os.replace(tmp, self._ledger_path(batch_id))
+        self._record_commit(entry)
 
     def _write_and_publish(self, batch_df: DataFrame, batch_id: int):
         """Write the batch's data files and make them reader-visible
@@ -189,10 +302,12 @@ class ExactlyOnceParquetSink:
 
     def read(self, spark) -> DataFrame:
         """Committed rows only (ledger-gated; manifest-resolved in
-        manifest mode — data directories are never listed)."""
+        manifest mode — data directories are never listed). Uses the
+        compact ledger index: no per-batch ledger JSON opens in steady
+        state."""
         paths: list[str] = []
-        for entry in self.ledger():
-            paths.extend(self._batch_data_paths(entry["batch_id"]))
+        for bid in sorted(self._compact_entries()):
+            paths.extend(self._batch_data_paths(bid))
         if not paths:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
         return spark.read.parquet(*paths)
@@ -200,25 +315,19 @@ class ExactlyOnceParquetSink:
     def batch_dirs_since(self, cutoff) -> list[str]:
         """Committed batch data paths whose max event time (per-partition
         ledger lineage, derived from parquet footer stats at commit time)
-        is ≥ `cutoff` (a datetime). Batches without ts statistics are
-        included conservatively. This is the ledger-metadata analogue of
-        partition pruning: the ledger is consulted, never the data files,
-        so selecting the relevant suffix of a long-running stream's
-        history costs O(#batches) metadata — not O(rows)."""
+        is ≥ `cutoff` (a datetime). Batches with ANY partition lacking a
+        parseable max_ts are included conservatively — an unparseable stat
+        could hold the true max. This is the ledger-metadata analogue of
+        partition pruning, served from the compact in-memory index
+        (checkpoint + suffix), so per-trigger cost is O(1) file opens in
+        steady state — independent of total stream age, never O(rows) or
+        O(#batches)."""
         import datetime as _dt
 
         keep: list[str] = []
-        for entry in self.ledger():
-            mx: _dt.datetime | None = None
-            for p in entry.get("partitions", []):
-                raw = p.get("max_ts")
-                if raw in (None, "None"):
-                    continue
-                try:
-                    v = _dt.datetime.fromisoformat(raw)
-                except ValueError:
-                    continue
-                mx = v if mx is None else max(mx, v)
+        for bid, entry in sorted(self._compact_entries().items()):
+            raw = entry.get("max_ts")
+            mx = _dt.datetime.fromisoformat(raw) if raw else None
             if mx is None or mx >= cutoff:
-                keep.extend(self._batch_data_paths(entry["batch_id"]))
+                keep.extend(self._batch_data_paths(bid))
         return keep

@@ -457,6 +457,78 @@ def test_streaming_rule_seed_read_is_bounded(spark, tmp_path):
     assert len(stage.seed_batch_dirs(min_ev)) == 1
 
 
+def test_sink_ledger_metadata_reads_are_bounded(spark, tmp_path):
+    """Round-5 worklist #1: per-trigger ledger METADATA reads must not
+    grow with stream age. The compact checkpoint (written every
+    compact_every commits) + per-batch suffix bound file opens to
+    O(compact_every) after a restart and ZERO in steady state — the
+    ledger analogue of test_streaming_rule_seed_read_is_bounded."""
+    from semstreams_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"), compact_every=4)
+    for b in range(30):
+        ts = T0 + dt.timedelta(hours=b)
+        df = spark.createDataFrame(
+            [("r", f"e{b}", ts)], "rule_id string, entity_id string, ts timestamp_ntz"
+        )
+        sink(df, b)
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "_ledger", "_checkpoint.json"))
+
+    # steady state (the live committer): pruning consults the in-memory
+    # index only — zero ledger file opens per trigger
+    cutoff = T0 + dt.timedelta(hours=28, minutes=30)
+    r0 = sink.ledger_file_reads
+    dirs = sink.batch_dirs_since(cutoff)
+    assert [os.path.basename(d) for d in dirs] == ["batch=29"]
+    assert sink.ledger_file_reads == r0
+
+    # restart: a fresh sink loads ONE checkpoint + the <compact_every
+    # suffix — bounded regardless of the 30-batch (or 30k-batch) history
+    sink2 = ExactlyOnceParquetSink(str(tmp_path / "t"), compact_every=4)
+    assert sink2.batch_dirs_since(cutoff) == dirs
+    assert sink2.ledger_file_reads <= 1 + 4
+    assert sorted(sink2._compact_entries()) == list(range(30))
+    # read() serves from the same bounded index and sees every batch
+    assert sink2.read(spark).count() == 30
+
+
+def test_compact_entry_conservative_on_partial_stats():
+    """ADVICE r4: a batch with ANY unparseable/missing partition max_ts
+    must be included conservatively in pruning (max_ts None), not just
+    the all-missing case — the bad partition could hold the true max."""
+    from semstreams_spark.streaming.sink import ExactlyOnceParquetSink
+
+    mixed = {
+        "batch_id": 5,
+        "rows": 10,
+        "partitions": [{"max_ts": "2025-01-02T00:00:00"}, {"max_ts": "garbage"}],
+    }
+    assert ExactlyOnceParquetSink._compact_entry(mixed)["max_ts"] is None
+    missing = {
+        "batch_id": 6,
+        "rows": 10,
+        "partitions": [{"max_ts": "2025-01-02T00:00:00"}, {"max_ts": "None"}],
+    }
+    assert ExactlyOnceParquetSink._compact_entry(missing)["max_ts"] is None
+    clean = {
+        "batch_id": 7,
+        "rows": 10,
+        "partitions": [{"max_ts": "2025-01-01T00:00:00"}, {"max_ts": "2025-01-02T00:00:00"}],
+    }
+    assert ExactlyOnceParquetSink._compact_entry(clean)["max_ts"] == "2025-01-02T00:00:00"
+    # an EMPTY part file (0 rows — routine with wide parallelism on small
+    # batches) holds no events: its missing stats must NOT disable pruning
+    empty_ok = {
+        "batch_id": 8,
+        "rows": 1,
+        "partitions": [
+            {"rows": 1, "max_ts": "2025-01-02T00:00:00"},
+            {"rows": 0, "max_ts": "None"},
+        ],
+    }
+    assert ExactlyOnceParquetSink._compact_entry(empty_ok)["max_ts"] == "2025-01-02T00:00:00"
+
+
 def test_streaming_rule_late_event_arrival_order(spark, tmp_path):
     """Ordering-semantics pin: a LATE but in-watermark row finalized in a
     LATER batch with an EARLIER event time follows the reference's
