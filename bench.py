@@ -37,55 +37,57 @@ def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def batch_queries(spark, sf_dir, reps: int = 3):
-    """Headline batch queries (subset of __spark_entry__ queries that
-    dominate the pipeline), each timed `reps` times with the reps
-    INTERLEAVED (full suite passes back-to-back) so co-tenant load spikes
-    on this shared host hit all queries alike; reports {min, median} per
-    query. min is the headline (the protocol of record, BASELINE §C);
-    median exposes how loaded the run was."""
-    import statistics
+HEADLINE_QUERIES = [
+    "triples_extract",
+    "entity_states",
+    "graph_edges",
+    "cooccur_5min",
+    "sessions",
+    "degree_tumbling",
+    "rule_events",
+    "q1_pricing",
+    "bm25_topk",
+    "minhash_pairs",
+    # round-2 breadth: iterative/graph paths so regressions are visible
+    "paths_2hop",
+    "lpa_hierarchy",
+    "graphrag_global",
+    "embedding_neardup_lsh",
+    "pagerank_entities",
+    "entity_semantic_topk",
+    # round-3 additions: trained-centroid IVF + real WAV decode
+    "ivf_topk",
+    "media_wav_decode",
+    # round-4 addition: real stdlib PNG decode
+    "media_png_decode",
+]
 
+
+def suite_pass(spark, sf_dir, times: dict[str, list[float]]):
+    """ONE pass over the headline batch queries, appending wall times.
+    Passes are interleaved by the caller (with the ingest rep at the head
+    of each pass) so a co-tenant load spike on this shared host hits at
+    most one rep of everything, never all reps of one measurement —
+    the round-5 protocol fix for BENCH_r04's contended ingest headline."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    names = [
-        "triples_extract",
-        "entity_states",
-        "graph_edges",
-        "cooccur_5min",
-        "sessions",
-        "degree_tumbling",
-        "rule_events",
-        "q1_pricing",
-        "bm25_topk",
-        "minhash_pairs",
-        # round-2 breadth: iterative/graph paths so regressions are visible
-        "paths_2hop",
-        "lpa_hierarchy",
-        "graphrag_global",
-        "embedding_neardup_lsh",
-        "pagerank_entities",
-        "entity_semantic_topk",
-        # round-3 additions: trained-centroid IVF + real WAV decode
-        "ivf_topk",
-        "media_wav_decode",
-        # round-4 addition: real stdlib PNG decode
-        "media_png_decode",
-    ]
-    times: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(reps):
-        for n in names:
-            t0 = time.monotonic()
-            _noop_write(qs[n](spark, sf_dir))
-            times[n].append(time.monotonic() - t0)
-            # drop DataFrame caches pinned by iterative operators so
-            # storage doesn't accumulate across reps (GC pressure was
-            # inflating whatever query happened to run last); cleanup is
-            # outside the timed window — a real deployment runs one query
-            # per session/job, not 57 back-to-back in one JVM
-            spark.catalog.clearCache()
-        gc.collect()
+    for n in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        _noop_write(qs[n](spark, sf_dir))
+        times[n].append(time.monotonic() - t0)
+        # drop DataFrame caches pinned by iterative operators so
+        # storage doesn't accumulate across reps (GC pressure was
+        # inflating whatever query happened to run last); cleanup is
+        # outside the timed window — a real deployment runs one query
+        # per session/job, not 57 back-to-back in one JVM
+        spark.catalog.clearCache()
+    gc.collect()
+
+
+def _min_median(times: dict[str, list[float]]):
+    import statistics
+
     mins = {n: round(min(ts), 3) for n, ts in times.items()}
     medians = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
     return mins, medians
@@ -105,26 +107,20 @@ BIG_SF_QUERIES = [
 ]
 
 
-def big_sf_queries(spark, big_sf: float, reps: int = 2):
-    """Time BIG_SF_QUERIES at a larger scale factor (interleaved reps,
-    min/median protocol — same estimator as batch_queries)."""
-    import statistics
-
+def big_sf_pass(spark, big_sf: float, times: dict[str, list[float]]):
+    """ONE pass over BIG_SF_QUERIES at a larger scale factor (interleaved
+    with the big-sf ingest rep by the caller — same protocol as
+    suite_pass)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     sf_dir = f"sf{big_sf:g}"  # only the sf token matters to these queries
-    times: dict[str, list[float]] = {n: [] for n in BIG_SF_QUERIES}
-    for _ in range(reps):
-        for n in BIG_SF_QUERIES:
-            t0 = time.monotonic()
-            _noop_write(qs[n](spark, sf_dir))
-            times[n].append(time.monotonic() - t0)
-            spark.catalog.clearCache()
-        gc.collect()
-    mins = {n: round(min(ts), 3) for n, ts in times.items()}
-    medians = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
-    return mins, medians
+    for n in BIG_SF_QUERIES:
+        t0 = time.monotonic()
+        _noop_write(qs[n](spark, sf_dir))
+        times[n].append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+    gc.collect()
 
 
 def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90 days"):
@@ -208,21 +204,50 @@ def main():
     queries_median: dict[str, float] = {}
     total = 0.0
 
-    # e2e throughput: one big batch over cores*2 files; warmup discarded
-    # (JIT), median of --runs (BASELINE.md protocol)
     import statistics
 
-    walls = []
-    n_turns = 0
-    for i in range(args.runs + 1):
-        wall, n_turns, _ = stream_ingest(
-            spark, transcripts_path(sf), workdir, n_files=args.cores * 2, mfpt=args.cores * 2
+    ingest_args = dict(n_files=args.cores * 2, mfpt=args.cores * 2)
+    # warmup ingest, discarded (JIT/classloading)
+    _, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+
+    batch_p95_ms = None
+    big = None
+    loadavg_per_pass: list[float] = []
+    if args.stream_only:
+        walls = []
+        for _ in range(args.runs):
+            loadavg_per_pass.append(round(os.getloadavg()[0], 2))
+            w_, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+            walls.append(w_)
+    else:
+        # INTERLEAVED protocol (round-5, BASELINE §C): each of the --reps
+        # passes is [one e2e ingest wall, then one full query-suite pass],
+        # with the 1-min loadavg stamped at the head of each pass. A
+        # single contended window on this shared host can then own at
+        # most one rep of each measurement — BENCH_r04's ingest headline
+        # was 2.3× inflated precisely because all three ingest reps ran
+        # back-to-back inside one bad window.
+        times: dict[str, list[float]] = {n: [] for n in HEADLINE_QUERIES}
+        walls = []
+        for _ in range(max(args.reps, 1)):
+            loadavg_per_pass.append(round(os.getloadavg()[0], 2))
+            w_, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+            walls.append(w_)
+            suite_pass(spark, args.sf_dir, times)
+        mins, medians = _min_median(times)
+        queries.update(mins)
+        queries_median.update(medians)
+        total += sum(mins.values())
+
+        # per-batch latency: 20 micro-batches
+        _, _, per_batch = stream_ingest(
+            spark, transcripts_path(sf), workdir, n_files=20, mfpt=1
         )
-        if i > 0:
-            walls.append(wall)
-    # min-of-runs (same estimator as the per-query section): co-tenant
+        batch_p95_ms = p95(per_batch)
+
+    # min-of-reps (same estimator as the per-query section): co-tenant
     # load can inflate a wall, nothing can deflate one below true cost;
-    # ingest_walls + queries_median carry the spread
+    # ingest_walls + queries_median + loadavg_per_pass carry the spread
     wall = min(walls)
     queries["ingest_e2e"] = round(wall, 3)
     queries_median["ingest_e2e"] = round(statistics.median(walls), 3)
@@ -230,19 +255,7 @@ def main():
     turns_per_sec = round(n_turns / wall, 1)
     ingest_walls = [round(w, 3) for w in walls]
 
-    batch_p95_ms = None
-    big = None
     if not args.stream_only:
-        # per-batch latency: 20 micro-batches
-        _, _, per_batch = stream_ingest(
-            spark, transcripts_path(sf), workdir, n_files=20, mfpt=1
-        )
-        batch_p95_ms = p95(per_batch)
-
-        mins, medians = batch_queries(spark, args.sf_dir, reps=args.reps)
-        queries.update(mins)
-        queries_median.update(medians)
-        total += sum(mins.values())
 
         # second scale point (north-rule scale credibility): ingest + the
         # heaviest transcript-derived queries at big_sf, same min/median
@@ -253,19 +266,22 @@ def main():
             # own workdir: stream_ingest keys its staged input on
             # n_files only, which would silently reuse the sf0.1 split
             big_workdir = os.path.join(workdir, f"big_sf{args.big_sf:g}")
+            # same interleaved protocol: warmup ingest, then 2 passes of
+            # [ingest wall, heavy-query pass], loadavg stamped per pass
+            _, big_turns, _ = stream_ingest(
+                spark, transcripts_path(args.big_sf), big_workdir, **ingest_args
+            )
+            big_times: dict[str, list[float]] = {n: [] for n in BIG_SF_QUERIES}
             big_walls = []
-            big_turns = 0
-            for i in range(3):  # 1 discarded warmup + 2 timed
+            big_loadavg = []
+            for _ in range(2):
+                big_loadavg.append(round(os.getloadavg()[0], 2))
                 w_, big_turns, _ = stream_ingest(
-                    spark,
-                    transcripts_path(args.big_sf),
-                    big_workdir,
-                    n_files=args.cores * 2,
-                    mfpt=args.cores * 2,
+                    spark, transcripts_path(args.big_sf), big_workdir, **ingest_args
                 )
-                if i > 0:
-                    big_walls.append(w_)
-            bmins, bmedians = big_sf_queries(spark, args.big_sf, reps=2)
+                big_walls.append(w_)
+                big_sf_pass(spark, args.big_sf, big_times)
+            bmins, bmedians = _min_median(big_times)
             big = {
                 "sf": args.big_sf,
                 "ingest_wall": round(min(big_walls), 3),
@@ -274,6 +290,7 @@ def main():
                 "n_turns": big_turns,
                 "queries": bmins,
                 "queries_median": bmedians,
+                "loadavg_per_pass": big_loadavg,
             }
 
     print(
@@ -292,6 +309,7 @@ def main():
                 "batch_p95_ms": batch_p95_ms,
                 "big": big,
                 "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
+                "loadavg_per_pass": loadavg_per_pass,
                 "cores": args.cores,
             }
         )
