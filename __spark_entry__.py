@@ -795,6 +795,20 @@ def q_media_png_decode(spark, sf_dir):
     return decode_png_features(synthesize_png_media(spark, n=64))
 
 
+def q_media_mp4_metadata(spark, sf_dir):
+    """REAL video-container metadata path (round-5 worklist #5): stdlib
+    struct walk of ISO BMFF ftyp/moov/mvhd/trak/mdia/stbl boxes
+    (operators/mp4.py) over synthetic spec-shaped MP4 payloads via
+    Arrow-batched mapInPandas — brand, movie timescale/duration, track
+    count, handler types, and codec fourccs read from the actual boxes
+    (both 32-bit v0 and 64-bit v1 headers exercised); the oracle
+    recomputes every field analytically from the generator contract
+    (synth_mp4_bytes: duration_ms = 1000 + 250·i, tracks = 1 + i%2)."""
+    from semstreams_spark.operators.multimodal import extract_video_metadata, synthesize_mp4_media
+
+    return extract_video_metadata(synthesize_mp4_media(spark, n=48))
+
+
 def q_graphrag_local(spark, sf_dir):
     """G11 local search: ent_001's LPA community cohort, text-match
     scored against the query over real mention-context texts."""
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_stats": q_media_metadata_stats,
         "media_wav_decode": q_media_wav_decode,
         "media_png_decode": q_media_png_decode,
+        "media_mp4_metadata": q_media_mp4_metadata,
         "metrics_rollup": q_metrics_rollup,
     }
 
@@ -1206,6 +1221,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN p % 3 = 2 THEN (i * 131 + p * 197) % 256 END) AS BIGINT) AS sum_b,
                    CAST(SUM((i * 131 + p * 197) % 256) AS BIGINT) AS sum_all
             FROM px GROUP BY 1, 2, 3
+        """,
+        "media_mp4_metadata": """
+            SELECT i AS media_id,
+                   'isom' AS brand,
+                   CAST(1000 AS INT) AS timescale,
+                   CAST(1000 + 250 * i AS BIGINT) AS duration_ms,
+                   CAST(1 + (i % 2) AS INT) AS n_tracks,
+                   CASE WHEN i % 2 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS codecs,
+                   CASE WHEN i % 2 = 0 THEN 'vide' ELSE 'vide,soun' END AS handlers
+            FROM range(0, 48) t(i)
         """,
         "metrics_rollup": """
             SELECT event_type,

@@ -7,12 +7,15 @@ RGB/RGBA PNG (``decode_png_pixels`` / ``decode_png_features``, via
 ``zlib`` inflate + full scanline unfiltering including Paeth), and
 baseline 4:4:4 JPEG (``operators/jpeg.py`` — complete Huffman entropy
 decode, DC prediction, AC run-length, dequantize, IDCT, color convert;
-pytest-verified since lossy output has no analytic SQL oracle). Only
-video containers (MP4) remain stubbed behind ``decode_available()``
-with a deterministic fake; everything Spark-side is real and tested
-either way: schema, partition-friendly layout, Arrow batch shapes,
-``mapInPandas`` UDF signatures, and the feature-extraction pipeline
-over binary columns.
+pytest-verified since lossy output has no analytic SQL oracle), and
+MP4 video container METADATA (``extract_video_metadata`` via the
+stdlib ISO BMFF box walk in ``operators/mp4.py`` — brand, movie
+duration/timescale, track count, handler types, codec fourccs). Only
+per-frame VIDEO decode remains behind the deterministic fake
+(``_fake_decode`` — a software H.264 decoder is out of proportion);
+everything Spark-side is real and tested either way: schema,
+partition-friendly layout, Arrow batch shapes, ``mapInPandas`` UDF
+signatures, and the feature-extraction pipeline over binary columns.
 
 Layout contract for a 100 TB media table:
   (media_id long, kind string ∈ {image,audio,video}, media binary,
@@ -328,6 +331,86 @@ def synthesize_png_media(spark, n: int = 64) -> DataFrame:
         meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None, "codec": "png"}
         rows.append((i, "image", bytearray(payload), meta, base_ts + _dt.timedelta(seconds=i)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthesize_mp4_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic video-only media table whose payloads are REAL
+    ISO BMFF (MP4) containers (mp4.synth_mp4_bytes contract) — the
+    media_mp4_metadata gate's input."""
+    import datetime as _dt
+
+    from .mp4 import mp4_duration_ms, synth_mp4_bytes
+
+    rows = []
+    base_ts = _dt.datetime(2025, 1, 1)
+    for i in range(n):
+        payload = synth_mp4_bytes(i)
+        meta = {
+            "width": None,
+            "height": None,
+            "sample_rate": None,
+            "n_frames": int(mp4_duration_ms(i) * 30 // 1000),
+            "codec": "h264",
+        }
+        rows.append((i, "video", bytearray(payload), meta, base_ts + _dt.timedelta(seconds=i)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, brand string, timescale int, duration_ms long, "
+    "n_tracks int, codecs string, handlers string"
+)
+
+
+def extract_video_metadata(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """video rows → container metadata via the stdlib ISO BMFF box walk
+    (operators/mp4.py): (media_id, brand, timescale, duration_ms,
+    n_tracks, codecs, handlers). Non-BMFF / corrupt payloads are
+    QUARANTINED per row (all-null metadata), never fail the job — the
+    same contract as the image decoders. Arrow-batched mapInPandas: the
+    right shape for per-blob container parsing; at real 100 TB scale a
+    native demuxer drops in behind this one function."""
+    from .mp4 import parse_mp4_metadata
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    m = parse_mp4_metadata(bytes(payload))
+                    rows.append(
+                        (
+                            int(mid),
+                            m["brand"],
+                            m["timescale"],
+                            m["duration_ms"],
+                            m["n_tracks"],
+                            m["codecs"],
+                            m["handlers"],
+                        )
+                    )
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "brand",
+                    "timescale",
+                    "duration_ms",
+                    "n_tracks",
+                    "codecs",
+                    "handlers",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "media")
+        .mapInPandas(gen, VIDEO_META_SCHEMA)
+    )
 
 
 def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:

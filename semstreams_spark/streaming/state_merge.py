@@ -81,6 +81,110 @@ STATE_SCHEMA = StructType(
 _EMPTY = np.array([], dtype=np.int32)
 
 
+def _session_end_frame(conv_id, version, last_idx, last_ts, n_turns) -> pd.DataFrame:
+    """The session_end summary row emitted on conversation timeout (W6) —
+    shared by both stateful operators."""
+    return pd.DataFrame(
+        {
+            "kind": ["session_end"],
+            "conv_id": [conv_id],
+            "turn_idx": pd.array([last_idx], dtype="Int32"),
+            "role": [None],
+            "text": [str(n_turns)],  # summary payload
+            "tool": [None],
+            "ts": [pd.Timestamp(last_ts, unit="us")],
+            "prev_turn_idx": pd.array([None], dtype="Int32"),
+            "prev_ts": [pd.NaT],
+            "req_turn_idx": pd.array([None], dtype="Int32"),
+            "version": pd.array([version], dtype="Int64"),
+        }
+    )
+
+
+def _chunk_arrays(pdf: pd.DataFrame):
+    """One Arrow chunk (flat transcript rows OR pack_transcripts packs)
+    → flat (idx, ts_us, roles, texts, tools) numpy arrays. Packed list
+    columns arrive as object cells of numpy arrays, so unpacking is
+    np.concatenate — vectorized, not per-row Python."""
+    if "idx" in pdf.columns:
+        idx = np.concatenate(list(pdf["idx"])).astype(np.int32)
+        ts_us = np.concatenate(list(pdf["ev_us"])).astype(np.int64)
+        roles = np.concatenate(list(pdf["role"]))
+        texts = np.concatenate(list(pdf["text"]))
+        tools = np.concatenate(list(pdf["tool"]))
+    else:
+        idx = pdf["turn_idx"].to_numpy(dtype=np.int32, copy=False)
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        roles = pdf["role"].to_numpy(copy=False)
+        texts = pdf["text"].to_numpy(copy=False)
+        tools = pdf["tool"].to_numpy(copy=False)
+    return idx, ts_us, roles, texts, tools
+
+
+def _merge_chunk(conv_id, pdf, new_seen, version, last_idx, last_ts, last_req_idx):
+    """Pure per-chunk accept/dedup/linkage core — the SHARED engine of
+    both stateful operators (applyInPandasWithState in this module,
+    transformWithStateInPandas in state_merge_tws): parity is by
+    construction, not by duplicated code. Returns
+    (out_frame_or_None, version, last_idx, last_ts, last_req_idx,
+    accepted_idx_or_None); mutates nothing (new_seen is read-only here).
+    """
+    idx, ts_us, roles_raw, texts_raw, tools_raw = _chunk_arrays(pdf)
+    order = np.lexsort((idx, ts_us))  # (ts, turn_idx) stable order
+    idx, ts_us = idx[order], ts_us[order]
+    mask = ~np.isin(idx, np.concatenate(new_seen))
+    # intra-chunk redelivery guard: two copies of the same turn_idx in
+    # ONE Arrow chunk must accept once (first in (ts, turn_idx) order
+    # wins) — np.isin only rejects turns seen in PRIOR chunks/batches
+    _, first_i = np.unique(idx, return_index=True)
+    first_occ = np.zeros(len(idx), dtype=bool)
+    first_occ[first_i] = True
+    mask &= first_occ
+    k = int(mask.sum())
+    if k == 0:
+        return None, version, last_idx, last_ts, last_req_idx, None
+    sel = order[mask]
+    idx_a, ts_a = idx[mask], ts_us[mask]
+
+    prev_idx = np.empty(k, dtype=object)
+    prev_idx[0] = last_idx
+    prev_idx[1:] = idx_a[:-1].astype(object)
+    prev_ts = np.empty(k, dtype="datetime64[us]")
+    prev_ts[0] = np.datetime64(last_ts, "us") if last_ts is not None else np.datetime64("NaT")
+    prev_ts[1:] = ts_a[:-1].astype("datetime64[us]")
+
+    # J4 streaming: requesting turn = most recent preceding non-tool
+    # turn (forward-fill across batch, seeded from state)
+    roles = roles_raw[sel]
+    nontool = roles != "tool"
+    req_src = pd.Series(np.where(nontool, idx_a.astype(float), np.nan))
+    req_col = req_src.shift(1).ffill()
+    if last_req_idx is not None:
+        req_col = req_col.fillna(float(last_req_idx))
+    req_idx = pd.array(
+        [None if np.isnan(v) else int(v) for v in req_col], dtype="Int32"
+    )
+    if nontool.any():
+        last_req_idx = int(idx_a[nontool][-1])
+
+    out = pd.DataFrame(
+        {
+            "kind": "turn",
+            "conv_id": conv_id,
+            "turn_idx": pd.array(idx_a, dtype="Int32"),
+            "role": roles_raw[sel],
+            "text": texts_raw[sel],
+            "tool": tools_raw[sel],
+            "ts": ts_a.astype("datetime64[us]"),
+            "prev_turn_idx": pd.array(prev_idx, dtype="Int32"),
+            "prev_ts": prev_ts,
+            "req_turn_idx": req_idx,
+            "version": np.arange(version + 1, version + k + 1, dtype=np.int64),
+        }
+    )
+    return out, version + k, int(idx_a[-1]), int(ts_a[-1]), last_req_idx, idx_a
+
+
 def _accept_turns(
     key: tuple[str],
     pdf_iter: Iterator[pd.DataFrame],
@@ -91,21 +195,7 @@ def _accept_turns(
     if state.hasTimedOut:
         version, last_idx, last_ts, n_turns, _, _, _ = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "kind": ["session_end"],
-                "conv_id": [conv_id],
-                "turn_idx": pd.array([last_idx], dtype="Int32"),
-                "role": [None],
-                "text": [str(n_turns)],  # summary payload
-                "tool": [None],
-                "ts": [pd.Timestamp(last_ts, unit="us")],
-                "prev_turn_idx": pd.array([None], dtype="Int32"),
-                "prev_ts": [pd.NaT],
-                "req_turn_idx": pd.array([None], dtype="Int32"),
-                "version": pd.array([version], dtype="Int64"),
-            }
-        )
+        yield _session_end_frame(conv_id, version, last_idx, last_ts, n_turns)
         return
 
     if state.exists:
@@ -119,69 +209,15 @@ def _accept_turns(
     new_seen = [seen]
     outputs = []
     for pdf in pdf_iter:
-        n = len(pdf)
-        if not n:
+        if not len(pdf):
             continue
-        idx = pdf["turn_idx"].to_numpy(dtype=np.int32, copy=False)
-        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        order = np.lexsort((idx, ts_us))  # (ts, turn_idx) stable order
-        idx, ts_us = idx[order], ts_us[order]
-        mask = ~np.isin(idx, np.concatenate(new_seen))
-        # intra-chunk redelivery guard: two copies of the same turn_idx in
-        # ONE Arrow chunk must accept once (first in (ts, turn_idx) order
-        # wins) — np.isin only rejects turns seen in PRIOR chunks/batches
-        _, first_i = np.unique(idx, return_index=True)
-        first_occ = np.zeros(len(idx), dtype=bool)
-        first_occ[first_i] = True
-        mask &= first_occ
-        k = int(mask.sum())
-        if k == 0:
+        out, version, last_idx, last_ts, last_req_idx, idx_a = _merge_chunk(
+            conv_id, pdf, new_seen, version, last_idx, last_ts, last_req_idx
+        )
+        if out is None:
             continue
-        sel = order[mask]
-        idx_a, ts_a = idx[mask], ts_us[mask]
-
-        prev_idx = np.empty(k, dtype=object)
-        prev_idx[0] = last_idx
-        prev_idx[1:] = idx_a[:-1].astype(object)
-        prev_ts = np.empty(k, dtype="datetime64[us]")
-        prev_ts[0] = np.datetime64(last_ts, "us") if last_ts is not None else np.datetime64("NaT")
-        prev_ts[1:] = ts_a[:-1].astype("datetime64[us]")
-
-        # J4 streaming: requesting turn = most recent preceding non-tool
-        # turn (forward-fill across batch, seeded from state)
-        roles = pdf["role"].to_numpy(copy=False)[sel]
-        nontool = roles != "tool"
-        req_src = pd.Series(np.where(nontool, idx_a.astype(float), np.nan))
-        req_col = req_src.shift(1).ffill()
-        if last_req_idx is not None:
-            req_col = req_col.fillna(float(last_req_idx))
-        req_idx = pd.array(
-            [None if np.isnan(v) else int(v) for v in req_col], dtype="Int32"
-        )
-        if nontool.any():
-            last_req_idx = int(idx_a[nontool][-1])
-
-        out = pd.DataFrame(
-            {
-                "kind": "turn",
-                "conv_id": conv_id,
-                "turn_idx": pd.array(idx_a, dtype="Int32"),
-                "role": pdf["role"].to_numpy(copy=False)[sel],
-                "text": pdf["text"].to_numpy(copy=False)[sel],
-                "tool": pdf["tool"].to_numpy(copy=False)[sel],
-                "ts": ts_a.astype("datetime64[us]"),
-                "prev_turn_idx": pd.array(prev_idx, dtype="Int32"),
-                "prev_ts": prev_ts,
-                "req_turn_idx": req_idx,
-                "version": np.arange(version + 1, version + k + 1, dtype=np.int64),
-            }
-        )
         outputs.append(out)
-
-        version += k
-        n_turns += k
-        last_idx = int(idx_a[-1])
-        last_ts = int(ts_a[-1])
+        n_turns += len(idx_a)
         new_seen.append(idx_a)
 
     if len(new_seen) > 1 or not state.exists:
@@ -211,11 +247,101 @@ def _accept_turns(
     yield from outputs
 
 
-def accepted_turns(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+PACKED_SCHEMA = (
+    "conv_id string, ts timestamp, idx array<int>, role array<string>, "
+    "text array<string>, tool array<string>, ev_us array<long>"
+)
+
+
+def pack_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Intra-batch per-conversation pre-compaction (round-5 worklist #3,
+    the lever documented by the r4 skew measurement): a narrow
+    ``mapInPandas`` over the SCAN partitions packs each partition's rows
+    per conv_id into ONE struct-of-arrays row, so a hot conversation
+    ships O(#source partitions) compacted rows — not O(its turn count) —
+    through the conv_id state exchange. Pack event time = max turn ts,
+    so watermark advancement (driven by batch max) is unchanged; the
+    state fn unpacks and re-sorts, so LWW/dedup semantics are
+    batch-boundary- and pack-boundary-invariant (parity-tested).
+
+    All numpy: argsort by conv_id, np.unique group bounds, reduceat for
+    the per-group max ts, np.split for the arrays — no per-row Python.
+    """
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            order = np.argsort(conv, kind="stable")
+            conv_s = conv[order]
+            idx = pdf["turn_idx"].to_numpy(dtype=np.int32, copy=False)[order]
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)[order]
+            role = pdf["role"].to_numpy()[order]
+            text = pdf["text"].to_numpy()[order]
+            tool = pdf["tool"].to_numpy()[order]
+            uniq, starts = np.unique(conv_s, return_index=True)
+            bounds = starts[1:]
+            max_ts = np.maximum.reduceat(ts_us, starts)
+            yield pd.DataFrame(
+                {
+                    "conv_id": uniq,
+                    "ts": max_ts.astype("datetime64[us]"),
+                    "idx": np.split(idx, bounds),
+                    "role": np.split(role, bounds),
+                    "text": np.split(text, bounds),
+                    "tool": np.split(tool, bounds),
+                    "ev_us": np.split(ts_us, bounds),
+                }
+            )
+
+    return transcripts.mapInPandas(_pack, PACKED_SCHEMA)
+
+
+def resolve_state_engine(requested: str | None = None) -> str:
+    """Which stateful API backs the merge: "tws"
+    (transformWithStateInPandas — the maintained Spark 4 API, DEFAULT
+    wherever its protobuf runtime exists) or "legacy"
+    (applyInPandasWithState — the fallback, and the only option on
+    runtimes without protobuf, like this test image).
+    SPARK_GRAFT_STATE_ENGINE pins either explicitly."""
+    import os
+
+    from .state_merge_tws import tws_supported
+
+    req = requested or os.environ.get("SPARK_GRAFT_STATE_ENGINE", "auto")
+    if req == "legacy":
+        return "legacy"
+    if req == "tws":
+        if not tws_supported():
+            raise RuntimeError(
+                "SPARK_GRAFT_STATE_ENGINE=tws but transformWithStateInPandas "
+                "needs google.protobuf, which is not importable here"
+            )
+        return "tws"
+    if req != "auto":
+        raise ValueError(f"unknown state engine {req!r} (auto|tws|legacy)")
+    return "tws" if tws_supported() else "legacy"
+
+
+def accepted_turns(
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+    precompact: bool = False,
+    engine: str | None = None,
+) -> DataFrame:
     """Streaming transform: transcript stream → accepted-turn stream
-    (deduped, prior-turn-linked, versioned)."""
+    (deduped, prior-turn-linked, versioned). precompact routes through
+    pack_transcripts ahead of the state exchange; engine selects the
+    stateful API (resolve_state_engine — TWS by default where supported,
+    both backed by the same _merge_chunk core)."""
+    stream = pack_transcripts(transcripts) if precompact else transcripts
+    if resolve_state_engine(engine) == "tws":
+        from .state_merge_tws import accepted_turns_tws
+
+        return accepted_turns_tws(stream, watermark=watermark)
     return (
-        transcripts.withWatermark("ts", watermark)
+        stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _accept_turns,
@@ -268,7 +394,7 @@ def _turn_triples_array():
 
 
 def conversation_graph_deltas(
-    transcripts: DataFrame, watermark: str = "10 minutes"
+    transcripts: DataFrame, watermark: str = "10 minutes", precompact: bool = False
 ) -> DataFrame:
     """Full streaming transform: transcript stream → graph-delta stream.
 
@@ -277,7 +403,7 @@ def conversation_graph_deltas(
     note AQE does not re-plan stateful exchanges — the shuffle-partition
     count fixed at first checkpoint is the scale lever.
     """
-    acc = accepted_turns(transcripts, watermark=watermark)
+    acc = accepted_turns(transcripts, watermark=watermark, precompact=precompact)
     subj = F.when(
         F.col("kind") == "session_end",
         F.concat(F.lit("test.local.graph.kb.conversation."), F.col("conv_id")),

@@ -271,6 +271,53 @@ def test_png_decode_real_path(spark):
         assert r["sum_b"] == int(v[p % 3 == 2].sum())
 
 
+def test_mp4_metadata_real_path(spark):
+    """Real (not stubbed) video-container metadata: the stdlib ISO BMFF
+    box walk reads brand/duration/tracks/codecs from actual ftyp/moov
+    boxes (v0 and v1 headers), corrupt payloads raise ValueError at the
+    parser and are QUARANTINED (all-null row, job survives) on the
+    Spark path."""
+    from semstreams_spark.operators.mp4 import (
+        mp4_codecs,
+        mp4_duration_ms,
+        mp4_n_tracks,
+        parse_mp4_metadata,
+        synth_mp4_bytes,
+    )
+    from semstreams_spark.operators.multimodal import (
+        extract_video_metadata,
+        synthesize_mp4_media,
+    )
+
+    # parser round-trips the generator contract, both header versions
+    for i in (0, 1, 6, 7):
+        m = parse_mp4_metadata(synth_mp4_bytes(i))
+        assert m["brand"] == "isom"
+        assert m["duration_ms"] == mp4_duration_ms(i)
+        assert m["n_tracks"] == mp4_n_tracks(i)
+        assert m["codecs"] == mp4_codecs(i)
+
+    # corrupt inputs raise ValueError (quarantine, never garbage)
+    good = synth_mp4_bytes(2)
+    for bad in (b"", b"not a movie", good[:40], good[:100], good.replace(b"mvhd", b"mvhX")):
+        with pytest.raises(ValueError):
+            parse_mp4_metadata(bad)
+
+    # Spark path: good rows parse, an injected corrupt row quarantines
+    media = synthesize_mp4_media(spark, n=6)
+    corrupt = spark.createDataFrame(
+        [(99, "video", bytearray(b"ftypgarbage"), None, dt.datetime(2025, 1, 1))],
+        media.schema,
+    )
+    out = {r["media_id"]: r for r in extract_video_metadata(media.union(corrupt)).collect()}
+    assert len(out) == 7
+    for i in range(6):
+        assert out[i]["duration_ms"] == mp4_duration_ms(i)
+        assert out[i]["codecs"] == mp4_codecs(i)
+        assert out[i]["handlers"] == ("vide" if i % 2 == 0 else "vide,soun")
+    assert out[99]["brand"] is None and out[99]["duration_ms"] is None
+
+
 def test_image_features_use_real_png_decode(spark):
     """extract_image_features detects the PNG signature and decodes for
     real: means/brightness equal the analytic pixel means, not the

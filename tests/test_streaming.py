@@ -72,6 +72,31 @@ def test_stream_matches_batch_extraction(spark, tmp_path):
     assert got == want
 
 
+def test_precompact_parity(spark, tmp_path):
+    """Round-5 worklist #3: the pre-compacted pipeline (pack_transcripts
+    ahead of the state exchange) must be row-for-row identical to the
+    flat pipeline on the same input — including re-delivery dedup,
+    prior-turn linkage, versions, and tool correlation — across
+    multi-file micro-batches where a conversation spans packs."""
+    indir = str(tmp_path / "in")
+    rows = (
+        _mk_rows("c1", 8, T0)
+        + _mk_rows("c2", 5, T0, "ent_b")
+        + [("c1", 3, "tool", "msg 3 @entity:ent_a", "search", T0 + dt.timedelta(seconds=60))]
+    )
+    _write_file(indir, "f1.parquet", rows[:7])
+    _write_file(indir, "f2.parquet", rows[5:])  # re-delivers turns 5,6 of c1
+    _write_file(indir, "f3.parquet", _mk_rows("c3", 4, T0 + dt.timedelta(minutes=2)))
+
+    outs = {}
+    for label, flag in (("flat", False), ("packed", True)):
+        outdir, ckpt = str(tmp_path / f"out_{label}"), str(tmp_path / f"ckpt_{label}")
+        sink = _run(spark, indir, outdir, ckpt, watermark="2 days", mfpt=1, precompact=flag)
+        outs[label] = sorted(map(tuple, sink.read(spark).collect()))
+    assert outs["flat"] == outs["packed"]
+    assert len(outs["flat"]) > 0
+
+
 def test_prior_turn_linkage(spark, tmp_path):
     indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
     _write_file(indir, "f1.parquet", _mk_rows("c1", 4, T0))
@@ -306,13 +331,36 @@ def test_tws_matches_applyinpandaswithstate(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
-        cols = ["conv_id", "turn_idx", "prev_turn_idx", "version", "ts"]
-        return sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+        # full-schema comparison: both engines share _merge_chunk, so
+        # every column (kind, req_turn_idx, tool included) must agree
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
 
-    aip = run(accepted_turns, "aip")
+    aip = run(lambda s, watermark: accepted_turns(s, watermark=watermark, engine="legacy"), "aip")
     tws = run(accepted_turns_tws, "tws")
     assert len(tws) == 8  # 4 + 2 + 2 accepted, redelivery dropped
     assert tws == aip
+
+
+def test_state_engine_resolution(monkeypatch):
+    """TWS is the default engine wherever its protobuf runtime exists;
+    legacy is the fallback and the explicit override. Forcing tws on a
+    runtime without protobuf fails loudly, not silently."""
+    from semstreams_spark.streaming import state_merge, state_merge_tws
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_ENGINE", raising=False)
+    monkeypatch.setattr(state_merge_tws, "tws_supported", lambda: True)
+    assert state_merge.resolve_state_engine() == "tws"
+    assert state_merge.resolve_state_engine("legacy") == "legacy"
+    monkeypatch.setenv("SPARK_GRAFT_STATE_ENGINE", "legacy")
+    assert state_merge.resolve_state_engine() == "legacy"
+    monkeypatch.delenv("SPARK_GRAFT_STATE_ENGINE")
+
+    monkeypatch.setattr(state_merge_tws, "tws_supported", lambda: False)
+    assert state_merge.resolve_state_engine() == "legacy"
+    with pytest.raises(RuntimeError, match="protobuf"):
+        state_merge.resolve_state_engine("tws")
+    with pytest.raises(ValueError, match="unknown state engine"):
+        state_merge.resolve_state_engine("bogus")
 
 
 def test_streaming_rule_stage_kill_resume(spark, tmp_path):
