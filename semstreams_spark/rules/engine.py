@@ -151,6 +151,22 @@ def evaluate_rules(entity_states: DataFrame, rules: list[Rule]) -> DataFrame:
             for nxt in per_cond[1:]:
                 matched = matched.unionByName(nxt)
             matched = matched.groupBy("entity_id").agg(F.max("ts").alias("ts"))
+            # required-field semantics (evaluator.go:89-100 + the rule
+            # loop at :40-48): a missing REQUIRED field errors the whole
+            # rule — it cannot fire for that entity even when another OR
+            # branch matches. (Under AND logic the outcome is identical
+            # without a guard: the condition on the missing field is
+            # false, so the conjunction already fails.)
+            req_fields = sorted({c.field for c in r.conditions if c.required})
+            if req_fields:
+                present = (
+                    scoped.filter(F.col("predicate").isin(req_fields))
+                    .groupBy("subject")
+                    .agg(F.count_distinct("predicate").alias("_nreq"))
+                    .filter(F.col("_nreq") == len(req_fields))
+                    .select(F.col("subject").alias("entity_id"))
+                )
+                matched = matched.join(present, "entity_id", "semi")
         outs.append(matched.select(F.lit(r.id).alias("rule_id"), "entity_id", "ts"))
     if not outs:
         raise ValueError("no enabled rules")

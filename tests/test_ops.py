@@ -138,11 +138,22 @@ def test_rules_and_or_logic(spark):
     )
     both = Rule(id="and_rule", logic="and", conditions=(Condition("a", "eq", "1"), Condition("b", "eq", "1")))
     either = Rule(id="or_rule", logic="or", conditions=(Condition("a", "eq", "1"), Condition("b", "eq", "1")))
-    out = evaluate_rules(st, [both, either]).collect()
+    # conditions are REQUIRED by default: e2 has no 'b' state at all, so
+    # the OR rule errors out for it (evaluator.go:89-100 — a missing
+    # required field fails the whole rule, not just its condition)
+    # even though its 'a' branch matches; optional 'b' restores the fire
+    loose = Rule(
+        id="or_opt",
+        logic="or",
+        conditions=(Condition("a", "eq", "1"), Condition("b", "eq", "1", required=False)),
+    )
+    out = evaluate_rules(st, [both, either, loose]).collect()
     and_hits = {r["entity_id"] for r in out if r["rule_id"] == "and_rule"}
     or_hits = {r["entity_id"] for r in out if r["rule_id"] == "or_rule"}
+    opt_hits = {r["entity_id"] for r in out if r["rule_id"] == "or_opt"}
     assert and_hits == {"e1"}
-    assert or_hits == {"e1", "e2"}
+    assert or_hits == {"e1"}
+    assert opt_hits == {"e1", "e2"}
     # AND event ts = max over contributing predicates
     and_ts = [r["ts"] for r in out if r["rule_id"] == "and_rule"][0]
     assert and_ts == T0 + dt.timedelta(seconds=5)
