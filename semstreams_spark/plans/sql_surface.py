@@ -34,6 +34,7 @@ def register_graph_views(
     transcripts: DataFrame,
     prefix: str = "",
     cache_triples: bool = False,
+    analytics: bool = False,
 ) -> dict[str, DataFrame]:
     """Register the derived graph tables as temp views; returns them.
 
@@ -43,6 +44,15 @@ def register_graph_views(
     On a lakehouse deployment these would be real tables maintained by
     the streaming job (streaming/publish.py) and this function would
     just bind names.
+
+    ``analytics`` additionally registers the CEP/window family (round-5
+    worklist #8) so it is SQL-reachable like §2.11: ``rule_events``
+    (DEFAULT_RULES over entity_states — canonical SQL is COMPILED from
+    the same Rule objects via rules/sql_compile), ``sessions``
+    (gap-based), ``degree_5min`` (tumbling mention out-degree), and
+    ``communities`` (LPA membership — iterative, so it registers as a
+    view with a canonical top-N SQL over it rather than a standalone
+    statement).
     """
     triples = extract_triples(transcripts)
     if cache_triples:
@@ -54,6 +64,25 @@ def register_graph_views(
         "nodes": nodes_table(triples),
         "edges": edges_table(triples),
     }
+    if analytics:
+        from pyspark.sql import functions as F
+
+        from ..graph.lpa import lpa_communities
+        from ..operators.sessions import sessionize
+        from ..operators.windows import node_degree_tumbling
+        from ..rules.engine import DEFAULT_RULES, evaluate_rules
+
+        mentions = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
+            F.col("object").alias("src"), F.col("subject").alias("dst"), "ts"
+        )
+        views.update(
+            {
+                "rule_events": evaluate_rules(views["entity_states"], DEFAULT_RULES),
+                "sessions": sessionize(transcripts, gap_minutes=30),
+                "degree_5min": node_degree_tumbling(mentions, "5 minutes"),
+                "communities": lpa_communities(views["edges"]),
+            }
+        )
     for name, df in views.items():
         df.createOrReplaceTempView(prefix + name)
     _register_sql_functions(spark)
@@ -121,7 +150,51 @@ SQL_QUERIES = {
         "SELECT dst, SUM(n_obs) AS n_incoming FROM edges GROUP BY dst "
         "ORDER BY n_incoming DESC, dst ASC LIMIT {k}"
     ),
+    # --- analytics family (round-5 worklist #8) --------------------------
+    # W3 gap-based sessions — mirrors operators.sessions.sessionize
+    # exactly (microsecond gap test, (ts, turn_idx) ordering)
+    "sessions": (
+        "WITH flagged AS ("
+        "  SELECT conv_id, ts, turn_idx,"
+        "    CASE WHEN timestampdiff(MICROSECOND, lag(ts) OVER w, ts) > {gap_us}"
+        "         THEN 1 ELSE 0 END AS new_session"
+        "  FROM transcripts"
+        "  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)"
+        "), numbered AS ("
+        "  SELECT conv_id, ts,"
+        "    SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx"
+        "                           ROWS UNBOUNDED PRECEDING) AS session_id"
+        "  FROM flagged"
+        ") SELECT conv_id, session_id, MIN(ts) AS session_start,"
+        "         MAX(ts) AS session_end, COUNT(1) AS n_turns"
+        "  FROM numbered GROUP BY conv_id, session_id"
+    ),
+    # A6 tumbling mention out-degree — mirrors windows.node_degree_tumbling
+    "degree_tumbling": (
+        "SELECT window.start AS window_start, src, COUNT(1) AS out_degree,"
+        "       COUNT(DISTINCT dst) AS distinct_dst"
+        " FROM (SELECT object AS src, subject AS dst, ts FROM triples"
+        "       WHERE predicate = 'conv.turn.mentions')"
+        " GROUP BY window(ts, '{width}'), src"
+    ),
+    # T2 community top-N over the registered LPA membership view
+    # (LPA itself is iterative — a view, not a single statement)
+    "community_top": (
+        "SELECT community, COUNT(1) AS n_members FROM communities "
+        "GROUP BY community ORDER BY n_members DESC, community ASC LIMIT {k}"
+    ),
 }
+
+
+def rule_events_sql() -> str:
+    """Canonical SQL for the registered DEFAULT_RULES over the
+    entity_states view — COMPILED from the same Rule objects the
+    DataFrame engine evaluates (rules/sql_compile), so the SQL surface
+    and the engine cannot drift."""
+    from ..rules.engine import DEFAULT_RULES
+    from ..rules.sql_compile import rules_sql
+
+    return rules_sql(DEFAULT_RULES, table="entity_states", dialect="spark")
 
 
 def sql(spark: SparkSession, name: str, **params) -> DataFrame:

@@ -47,6 +47,44 @@ def test_sql_surface_matches_dataframe_api(spark, transcripts_small):
     assert len(top) == 5 and top[0]["dst"] == ent
 
 
+def test_sql_surface_analytics_views(spark, transcripts_small):
+    """Round-5 worklist #8: the CEP/window family is SQL-reachable —
+    sessions, tumbling degree, rule events, and community top-N run via
+    spark.sql alone and match their DataFrame-API counterparts
+    row-for-row. rule_events' canonical SQL is COMPILED from the same
+    DEFAULT_RULES the engine evaluates."""
+    from semstreams_spark.plans.sql_surface import rule_events_sql
+
+    views = register_graph_views(spark, transcripts_small, cache_triples=True, analytics=True)
+
+    # sessions: canonical SQL == sessionize()
+    got = spark.sql(SQL_QUERIES["sessions"].format(gap_us=30 * 60 * 1_000_000))
+    assert _rows(got) == _rows(views["sessions"]) and got.count() > 0
+
+    # tumbling degree: canonical SQL == node_degree_tumbling()
+    got = spark.sql(SQL_QUERIES["degree_tumbling"].format(width="5 minutes"))
+    assert _rows(got) == _rows(views["degree_5min"]) and got.count() > 0
+
+    # rule events: compiled SQL == evaluate_rules(DEFAULT_RULES)
+    got = spark.sql(rule_events_sql())
+    assert _rows(got) == _rows(views["rule_events"]) and got.count() > 0
+
+    # community top-N over the registered LPA membership view
+    top = spark.sql(SQL_QUERIES["community_top"].format(k=3)).collect()
+    want = (
+        views["communities"]
+        .groupBy("community")
+        .count()
+        .orderBy(F.desc("count"), "community")
+        .limit(3)
+        .collect()
+    )
+    assert [(r["community"], r["n_members"]) for r in top] == [
+        (r["community"], r["count"]) for r in want
+    ]
+    assert len(top) == 3
+
+
 def test_sql_functions_registered(spark, transcripts_small):
     register_graph_views(spark, transcripts_small)
     row = spark.sql(
