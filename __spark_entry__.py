@@ -1032,6 +1032,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       already gated via q1_pricing, metrics_rollup, degree_tumbling
     - incoming_top ⊂ rels_in_entity (J5 reverse-edge lookup already
       value-gated there; r4 swap freeing the slot for media_png_decode)
+    - media_metadata_stats: metadata-only aggregate over synthetic
+      payload bytes — superseded by the REAL metadata/decode gates
+      (media_wav_decode, media_png_decode, media_mp4_metadata, which
+      read actual container/codec structures); r5 swap freeing the slot
+      for media_mp4_metadata; stays pytest-covered
+      (test_api_transforms)
     """
     return {
         "triples_extract": q_triples_extract,
@@ -1080,7 +1086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_delete": q_entity_delete,
         "spatial_bbox": q_spatial_bbox,
         "entity_semantic_topk": q_entity_semantic_topk,
-        "media_metadata_stats": q_media_metadata_stats,
         "media_wav_decode": q_media_wav_decode,
         "media_png_decode": q_media_png_decode,
         "media_mp4_metadata": q_media_mp4_metadata,
@@ -1174,26 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_delete": oracles.sql_entity_delete(sf, DELETE_TS_LATE, DELETE_TS_EARLY),
         "spatial_bbox": oracles.sql_spatial_bbox(sf, *SPATIAL_BBOX),
         "entity_semantic_topk": oracles.sql_entity_semantic_topk(sf, ENTITY_QUERY, k=10, dim=384),
-        # generator contract: audio rows are real WAVs (44-byte PCM header
-        # + 2 bytes/frame, synth_wav_bytes), image/video are 32-byte hash
-        # repeats
-        "media_metadata_stats": """
-            WITH g AS (
-              SELECT i,
-                     ['image', 'audio', 'video'][CAST(i % 3 AS INT) + 1] AS kind,
-                     CASE WHEN i % 3 = 0 THEN 8 + (i % 4) * 8 END AS width,
-                     CASE WHEN i % 3 = 1 THEN 8000 * (1 + (i % 9) // 3) END AS sample_rate,
-                     CASE WHEN i % 3 = 1 THEN 44 + 2 * (400 + (i % 5) * 80)
-                          ELSE 32 * (1 + i % 4) END AS n_bytes
-              FROM range(0, 64) t(i)
-            )
-            SELECT kind, COUNT(*) AS n,
-                   AVG(width) AS avg_width,
-                   AVG(sample_rate) AS avg_sample_rate,
-                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
-            FROM g GROUP BY kind
-        """,
-        # real stdlib-wave decode of the same WAV payloads: every output
+        # real stdlib-wave decode of the synthetic WAV payloads (44-byte
+        # PCM header + 2 bytes/frame, synth_wav_bytes): every output
         # field is exact integer math over the generator contract
         "media_wav_decode": """
             SELECT i AS media_id,
