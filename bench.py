@@ -13,7 +13,11 @@ line:
 
 The e2e streaming ingest (read → extract → stateful merge → exactly-once
 sink) is measured twice: one-big-batch for throughput (turns/sec) and
-20-file micro-batches for per-batch latency (p95 triggerExecution).
+40 single-file micro-batches for per-batch latency (triggerExecution
+p95 over all batches, plus median + p95 after a documented warm-in
+exclusion — batch_p95_steady_ms / batch_med_ms — since a fresh query's
+first triggers pay one-time state-store/python-worker setup an
+always-on stream never re-pays).
 
 Scaling evidence (north_rule): tools/scaling_bench.py runs this file at
 two parallelism levels in fresh JVMs and reports efficiency.
@@ -159,6 +163,12 @@ def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90
     return wall, n_turns, per_batch_ms
 
 
+# triggers excluded from the steady-state latency stats: covers the
+# state-store instance creation + cold python workers observed on the
+# first ~3 triggers of a fresh query (tools/latency_profile.py)
+LATENCY_WARM_IN = 4
+
+
 def p95(xs):
     if not xs:
         return None
@@ -211,6 +221,8 @@ def main():
     _, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
 
     batch_p95_ms = None
+    batch_p95_steady_ms = None
+    batch_med_ms = None
     big = None
     loadavg_per_pass: list[float] = []
     if args.stream_only:
@@ -239,11 +251,22 @@ def main():
         queries_median.update(medians)
         total += sum(mins.values())
 
-        # per-batch latency: 20 micro-batches
+        # per-batch latency: 40 single-file micro-batches. The first few
+        # triggers of a fresh streaming query pay one-time costs (RocksDB
+        # state-store instance creation, cold TWS python workers) that an
+        # always-on stream amortizes to nothing — on the north metric's
+        # 10^9-turn stream they are a 1e-7 fraction, but in a 20-batch
+        # sample they ARE the p95. So: batch_p95_ms stays the
+        # conservative all-batches number, and batch_p95_steady_ms /
+        # batch_med_ms report the post-warm-in distribution (first
+        # LATENCY_WARM_IN triggers excluded, protocol in BASELINE §C).
         _, _, per_batch = stream_ingest(
-            spark, transcripts_path(sf), workdir, n_files=20, mfpt=1
+            spark, transcripts_path(sf), workdir, n_files=40, mfpt=1
         )
         batch_p95_ms = p95(per_batch)
+        steady = per_batch[LATENCY_WARM_IN:]
+        batch_p95_steady_ms = p95(steady)
+        batch_med_ms = int(statistics.median(steady)) if steady else None
 
     # min-of-reps (same estimator as the per-query section): co-tenant
     # load can inflate a wall, nothing can deflate one below true cost;
@@ -307,6 +330,8 @@ def main():
                 "n_turns": n_turns,
                 "ingest_walls": ingest_walls,
                 "batch_p95_ms": batch_p95_ms,
+                "batch_p95_steady_ms": batch_p95_steady_ms,
+                "batch_med_ms": batch_med_ms,
                 "big": big,
                 "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "loadavg_per_pass": loadavg_per_pass,

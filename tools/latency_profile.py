@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Per-trigger latency profile of the streaming ingest.
+
+Runs the e2e ingest as N micro-batches (maxFilesPerTrigger=1) and prints
+each StreamingQueryProgress's durationMs breakdown plus the stateful
+operator's commit/update times — the feedback loop for driving down the
+north metric's triple-emit p95.
+
+Usage: python tools/latency_profile.py [--sf 0.1] [--files 20] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--files", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run one big-batch ingest first (bench.py conditions: warm "
+        "JVM + python worker pool before the latency stream starts)",
+    )
+    args = ap.parse_args()
+
+    from semstreams_spark.datagen import ensure_transcripts, transcripts_path
+    from semstreams_spark.session import get_spark
+    from semstreams_spark.streaming import build_ingest_stream, read_transcript_stream
+
+    ensure_transcripts(args.sf)
+    spark = get_spark(
+        "latency_profile",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions or args.cores,
+    )
+    workdir = args.workdir or tempfile.mkdtemp(prefix="semspark_latprof_")
+
+    indir = os.path.join(workdir, f"in_{args.files}")
+    if not os.path.exists(indir):
+        src = spark.read.parquet(transcripts_path(args.sf))
+        src.repartition(args.files).write.mode("overwrite").parquet(indir)
+
+    if args.warmup:
+        wdir = os.path.join(workdir, "warm")
+        for d in (os.path.join(wdir, "out"), os.path.join(wdir, "ckpt")):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        wq, _ = build_ingest_stream(
+            read_transcript_stream(spark, indir, max_files_per_trigger=args.files),
+            os.path.join(wdir, "out"),
+            checkpoint_dir=os.path.join(wdir, "ckpt"),
+            once=True,
+        )
+        wq.awaitTermination()
+
+    outdir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    for d in (outdir, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
+    t0 = time.monotonic()
+    q, _ = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+
+    rows = []
+    for j in q.recentProgress:
+        p = json.loads(j.json)
+        if p.get("numInputRows", 0) == 0:
+            continue
+        d = p.get("durationMs", {})
+        st = (p.get("stateOperators") or [{}])[0]
+        cm = st.get("customMetrics", {})
+        rows.append(
+            {
+                "batch": p["batchId"],
+                "rows": p["numInputRows"],
+                "trigger": d.get("triggerExecution"),
+                "addBatch": d.get("addBatch"),
+                "getBatch": d.get("getBatch"),
+                "latestOffset": d.get("latestOffset"),
+                "queryPlanning": d.get("queryPlanning"),
+                "walCommit": d.get("walCommit"),
+                "commitOffsets": d.get("commitOffsets"),
+                "st_commit": st.get("allUpdatesTimeMs"),
+                "st_commitTime": st.get("commitTimeMs"),
+                "st_rows": st.get("numRowsUpdated"),
+                "rocks_commit": cm.get("rocksdbCommitTotalLatency"),
+                "rocks_load": cm.get("loadedMapCacheHitCount"),
+            }
+        )
+    print(json.dumps(rows, indent=1))
+    trig = sorted(r["trigger"] for r in rows)
+    print(
+        json.dumps(
+            {
+                "wall_s": round(wall, 2),
+                "n_batches": len(rows),
+                "trigger_min_ms": trig[0] if trig else None,
+                "trigger_med_ms": trig[len(trig) // 2] if trig else None,
+                "trigger_p95_ms": trig[min(len(trig) - 1, int(round(0.95 * (len(trig) - 1))))]
+                if trig
+                else None,
+                "sum_addBatch_ms": sum(r["addBatch"] or 0 for r in rows),
+                "sum_trigger_ms": sum(r["trigger"] or 0 for r in rows),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
