@@ -127,33 +127,87 @@ def big_sf_pass(spark, big_sf: float, times: dict[str, list[float]]):
     gc.collect()
 
 
-def stream_ingest(spark, transcripts_file, workdir, n_files, mfpt, watermark="90 days"):
+def stage_stream_input(spark, transcripts_file, indir, n_files, time_ordered):
+    """Split the transcript table into n_files for the file micro-batch
+    source.
+
+    time_ordered=True stages consecutive EVENT-TIME slices
+    (repartitionByRange on ts + ascending mtimes so the file source
+    trickles them in order) — a stream's real arrival pattern, where a
+    micro-batch only touches the conversations active in its slice.
+    time_ordered=False is a RANDOM split: every file spans the full
+    event-time range, so every micro-batch touches essentially every
+    conversation's state — the adversarial worst case for the stateful
+    stage (kept as the throughput split and as a stress knob)."""
+    if os.path.exists(indir):
+        return
+    src = spark.read.parquet(transcripts_file)
+    if time_ordered:
+        src.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(indir)
+        # the file source orders same-mtime files lexically by path only
+        # after mtime — pin strictly increasing mtimes so part-00000
+        # (earliest slice) is delivered first regardless of task finish
+        # order
+        parts = sorted(f for f in os.listdir(indir) if f.endswith(".parquet"))
+        base = time.time() - len(parts) - 60
+        for i, name in enumerate(parts):
+            os.utime(os.path.join(indir, name), (base + i, base + i))
+    else:
+        src.repartition(n_files).write.mode("overwrite").parquet(indir)
+
+
+def stream_ingest(
+    spark,
+    transcripts_file,
+    workdir,
+    n_files,
+    mfpt,
+    watermark="90 days",
+    time_ordered=False,
+    state_partitions=None,
+):
     """Run the e2e ingest over the transcript table split into n_files;
-    returns (wall_sec, n_turns, per_batch_ms)."""
+    returns (wall_sec, n_turns, per_batch_ms).
+
+    state_partitions: state-stage partition count for THIS query (the
+    conf is captured at stream start and pinned in the checkpoint; it is
+    restored for subsequent work). Streaming ops practice is to size
+    state partitions to per-trigger load — the latency stream's ~12k-row
+    triggers over-partition badly at 32 (each partition pays a fixed
+    python-runner + RocksDB-commit cost per trigger for a handful of
+    keys), while the one-big-batch throughput run wants all cores."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from semstreams_spark.streaming import build_ingest_stream, read_transcript_stream
 
-    indir = os.path.join(workdir, f"in_{n_files}")
-    if not os.path.exists(indir):
-        src = spark.read.parquet(transcripts_file)
-        src.repartition(n_files).write.mode("overwrite").parquet(indir)
+    indir = os.path.join(workdir, f"in_{'ord_' if time_ordered else ''}{n_files}")
+    stage_stream_input(spark, transcripts_file, indir, n_files, time_ordered)
     n_turns = spark.read.parquet(indir).count()
 
-    outdir = os.path.join(workdir, f"out_{n_files}_{mfpt}")
-    ckpt = os.path.join(workdir, f"ckpt_{n_files}_{mfpt}")
+    tag = f"{'ord_' if time_ordered else ''}{n_files}_{mfpt}"
+    outdir = os.path.join(workdir, f"out_{tag}")
+    ckpt = os.path.join(workdir, f"ckpt_{tag}")
     for d in (outdir, ckpt):
         if os.path.exists(d):
             shutil.rmtree(d)
 
     stream = read_transcript_stream(spark, indir, max_files_per_trigger=mfpt)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     t0 = time.monotonic()
-    q, sink = build_ingest_stream(
-        stream, outdir, checkpoint_dir=ckpt, watermark=watermark, once=(mfpt >= n_files),
-        # A/B the two exactly-once publish paths without code changes
-        commit_mode=os.environ.get("SPARK_GRAFT_COMMIT_MODE", "rename"),
-    )
-    q.awaitTermination()
+    try:
+        q, sink = build_ingest_stream(
+            stream, outdir, checkpoint_dir=ckpt, watermark=watermark, once=(mfpt >= n_files),
+            # A/B the two exactly-once publish paths without code changes
+            commit_mode=os.environ.get("SPARK_GRAFT_COMMIT_MODE", "rename"),
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     wall = time.monotonic() - t0
     per_batch_ms = [
         p["durationMs"].get("triggerExecution", 0)
@@ -260,8 +314,20 @@ def main():
         # conservative all-batches number, and batch_p95_steady_ms /
         # batch_med_ms report the post-warm-in distribution (first
         # LATENCY_WARM_IN triggers excluded, protocol in BASELINE §C).
+        # time_ordered staging: a latency measurement models an ALWAYS-ON
+        # stream, whose micro-batches arrive in (approximate) event-time
+        # order and touch only the conversations active in their slice —
+        # the random split used for the throughput runs would instead
+        # touch ~every conversation's state every batch (that worst case
+        # stays measurable via tools/latency_profile.py --shuffled)
         _, _, per_batch = stream_ingest(
-            spark, transcripts_path(sf), workdir, n_files=40, mfpt=1
+            spark,
+            transcripts_path(sf),
+            workdir,
+            n_files=40,
+            mfpt=1,
+            time_ordered=True,
+            state_partitions=8,
         )
         batch_p95_ms = p95(per_batch)
         steady = per_batch[LATENCY_WARM_IN:]

@@ -63,6 +63,12 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        # write-heavy state tuning: maintaining the exact numRowsTotal
+        # metric costs RocksDB a read-before-every-put; dropping it cut
+        # steady-state trigger latency ~25% and removed most of the
+        # fresh-query commit spike (measured, BASELINE §G). Only the
+        # progress-metric loses precision — semantics are unaffected.
+        .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

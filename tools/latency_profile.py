@@ -30,6 +30,30 @@ def main():
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--workdir", default=None)
     ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra SparkSession conf (repeatable), e.g. "
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false",
+    )
+    ap.add_argument(
+        "--shuffled",
+        action="store_true",
+        help="stage a RANDOM file split (every micro-batch touches "
+        "~every conversation's state — adversarial worst case) instead "
+        "of the default event-time-ordered slices bench.py's latency "
+        "stream uses (a stream's real arrival pattern)",
+    )
+    ap.add_argument(
+        "--watermark",
+        default="90 days",
+        help="bench.py's latency stream uses '90 days' (the staged input "
+        "is a RANDOM repartition, so every file spans the full event-time "
+        "range — a short watermark silently drops most rows as late and "
+        "the profile measures near-empty state batches)",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run one big-batch ingest first (bench.py conditions: warm "
@@ -46,13 +70,15 @@ def main():
         "latency_profile",
         cores=args.cores,
         shuffle_partitions=args.shuffle_partitions or args.cores,
+        extra_conf=dict(kv.split("=", 1) for kv in args.conf),
     )
     workdir = args.workdir or tempfile.mkdtemp(prefix="semspark_latprof_")
 
-    indir = os.path.join(workdir, f"in_{args.files}")
-    if not os.path.exists(indir):
-        src = spark.read.parquet(transcripts_path(args.sf))
-        src.repartition(args.files).write.mode("overwrite").parquet(indir)
+    from bench import stage_stream_input
+
+    ordered = not args.shuffled
+    indir = os.path.join(workdir, f"in_{'ord_' if ordered else ''}{args.files}")
+    stage_stream_input(spark, transcripts_path(args.sf), indir, args.files, ordered)
 
     if args.warmup:
         wdir = os.path.join(workdir, "warm")
@@ -63,6 +89,7 @@ def main():
             read_transcript_stream(spark, indir, max_files_per_trigger=args.files),
             os.path.join(wdir, "out"),
             checkpoint_dir=os.path.join(wdir, "ckpt"),
+            watermark=args.watermark,
             once=True,
         )
         wq.awaitTermination()
@@ -75,7 +102,7 @@ def main():
 
     stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
     t0 = time.monotonic()
-    q, _ = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt)
+    q, _ = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt, watermark=args.watermark)
     q.awaitTermination()
     wall = time.monotonic() - t0
 
@@ -85,6 +112,7 @@ def main():
         if p.get("numInputRows", 0) == 0:
             continue
         d = p.get("durationMs", {})
+        obs = (p.get("observedMetrics") or {}).get("ingest_source", {})
         st = (p.get("stateOperators") or [{}])[0]
         cm = st.get("customMetrics", {})
         rows.append(
@@ -101,6 +129,8 @@ def main():
                 "st_commit": st.get("allUpdatesTimeMs"),
                 "st_commitTime": st.get("commitTimeMs"),
                 "st_rows": st.get("numRowsUpdated"),
+                "ev_min": obs.get("min_event_ts"),
+                "ev_max": obs.get("max_event_ts"),
                 "rocks_commit": cm.get("rocksdbCommitTotalLatency"),
                 "rocks_load": cm.get("loadedMapCacheHitCount"),
             }
