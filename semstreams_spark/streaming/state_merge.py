@@ -40,6 +40,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pandas.arrays import IntegerArray
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -146,24 +147,36 @@ def _merge_chunk(conv_id, pdf, new_seen, version, last_idx, last_ts, last_req_id
     sel = order[mask]
     idx_a, ts_a = idx[mask], ts_us[mask]
 
-    prev_idx = np.empty(k, dtype=object)
-    prev_idx[0] = last_idx
-    prev_idx[1:] = idx_a[:-1].astype(object)
+    # all-numpy column builds (masked IntegerArray instead of object
+    # arrays / Series.ffill): per-key fixed cost is the hot number here —
+    # a typical micro-batch chunk is 1-2 rows, so construction overhead,
+    # not data volume, is what the state stage's wall is made of
+    # (measured 2.4 ms/key -> ~1.3 ms/key, BASELINE §G)
+    prev_idx = np.empty(k, dtype=np.int32)
+    prev_idx[0] = -1 if last_idx is None else last_idx
+    prev_idx[1:] = idx_a[:-1]
+    prev_mask = np.zeros(k, dtype=bool)
+    prev_mask[0] = last_idx is None
     prev_ts = np.empty(k, dtype="datetime64[us]")
     prev_ts[0] = np.datetime64(last_ts, "us") if last_ts is not None else np.datetime64("NaT")
     prev_ts[1:] = ts_a[:-1].astype("datetime64[us]")
 
     # J4 streaming: requesting turn = most recent preceding non-tool
-    # turn (forward-fill across batch, seeded from state)
+    # turn (vectorized forward-fill via positional maximum.accumulate,
+    # seeded from state; validity carried in a mask, never a value
+    # sentinel)
     roles = roles_raw[sel]
     nontool = roles != "tool"
-    req_src = pd.Series(np.where(nontool, idx_a.astype(float), np.nan))
-    req_col = req_src.shift(1).ffill()
-    if last_req_idx is not None:
-        req_col = req_col.fillna(float(last_req_idx))
-    req_idx = pd.array(
-        [None if np.isnan(v) else int(v) for v in req_col], dtype="Int32"
-    )
+    shifted = np.empty(k, dtype=np.int32)
+    shifted[0] = 0 if last_req_idx is None else last_req_idx
+    shifted[1:] = idx_a[:-1]
+    shifted_valid = np.empty(k, dtype=bool)
+    shifted_valid[0] = last_req_idx is not None
+    shifted_valid[1:] = nontool[:-1]
+    pos = np.where(shifted_valid, np.arange(k), -1)
+    ff = np.maximum.accumulate(pos)
+    req_vals = shifted[np.maximum(ff, 0)]
+    req_mask = ff < 0
     if nontool.any():
         last_req_idx = int(idx_a[nontool][-1])
 
@@ -171,16 +184,17 @@ def _merge_chunk(conv_id, pdf, new_seen, version, last_idx, last_ts, last_req_id
         {
             "kind": "turn",
             "conv_id": conv_id,
-            "turn_idx": pd.array(idx_a, dtype="Int32"),
-            "role": roles_raw[sel],
+            "turn_idx": idx_a,
+            "role": roles,
             "text": texts_raw[sel],
             "tool": tools_raw[sel],
             "ts": ts_a.astype("datetime64[us]"),
-            "prev_turn_idx": pd.array(prev_idx, dtype="Int32"),
+            "prev_turn_idx": IntegerArray(prev_idx, prev_mask),
             "prev_ts": prev_ts,
-            "req_turn_idx": req_idx,
+            "req_turn_idx": IntegerArray(req_vals, req_mask),
             "version": np.arange(version + 1, version + k + 1, dtype=np.int64),
-        }
+        },
+        copy=False,
     )
     return out, version + k, int(idx_a[-1]), int(ts_a[-1]), last_req_idx, idx_a
 
