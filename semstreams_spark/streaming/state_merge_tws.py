@@ -52,9 +52,17 @@ _EMPTY = np.empty(0, np.int32)
 def tws_supported() -> bool:
     """transformWithStateInPandas needs google.protobuf (the Python
     state-server wire protocol); absent → the legacy operator backs the
-    pipeline."""
+    pipeline.
+
+    Probes a real protobuf module, not the bare package: under
+    spark-submit the JVM jars land on the python path and
+    spark-core_*.jar's Java-side ``google/protobuf`` resource directory
+    imports as an EMPTY namespace package — ``import google.protobuf``
+    succeeds there with no protobuf runtime behind it, which selected
+    TWS on a runtime that cannot run it (measured: the job then dies in
+    the TWS pre-init runner)."""
     try:
-        import google.protobuf  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:

@@ -363,6 +363,37 @@ def test_state_engine_resolution(monkeypatch):
         state_merge.resolve_state_engine("bogus")
 
 
+def test_tws_not_fooled_by_namespace_protobuf(tmp_path):
+    """Regression: under spark-submit the JVM jars land on the python
+    path and spark-core's Java-side google/protobuf resource directory
+    imports as an EMPTY namespace package — `import google.protobuf`
+    succeeds with no protobuf runtime behind it. tws_supported() must
+    probe a real module (descriptor) so that shape resolves to the
+    legacy engine instead of a TWS job that dies in the pre-init
+    runner. Run in a subprocess so the phantom package never pollutes
+    this process's import state."""
+    import subprocess
+    import sys
+
+    (tmp_path / "google" / "protobuf").mkdir(parents=True)
+    code = (
+        "import google.protobuf\n"  # namespace import must succeed...
+        "from semstreams_spark.streaming.state_merge import resolve_state_engine\n"
+        "from semstreams_spark.streaming.state_merge_tws import tws_supported\n"
+        "assert not tws_supported()\n"  # ...but not count as a runtime
+        "assert resolve_state_engine() == 'legacy'\n"
+        "print('OK')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=f"{tmp_path}{os.pathsep}{repo}")
+    env.pop("SPARK_GRAFT_STATE_ENGINE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
+
+
 def test_streaming_rule_stage_kill_resume(spark, tmp_path):
     """R5 end-to-end: rules + cooldown evaluated inside the live delta
     stream's foreachBatch, committed exactly-once; a crash injected after
