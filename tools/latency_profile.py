@@ -54,6 +54,14 @@ def main():
         "the profile measures near-empty state batches)",
     )
     ap.add_argument(
+        "--rules",
+        action="store_true",
+        help="run the FULL pipeline (ingest + streaming rule stage in "
+        "the same foreachBatch, DEFAULT_RULES) — the soak configuration: "
+        "the rule stage holds the per-trigger ledger/seed reads whose "
+        "boundedness the slope stats evidence",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run one big-batch ingest first (bench.py conditions: warm "
@@ -70,7 +78,11 @@ def main():
         "latency_profile",
         cores=args.cores,
         shuffle_partitions=args.shuffle_partitions or args.cores,
-        extra_conf=dict(kv.split("=", 1) for kv in args.conf),
+        # keep every trigger's progress for long soaks (default cap 100)
+        extra_conf={
+            "spark.sql.streaming.numRecentProgressUpdates": str(max(200, 2 * args.files)),
+            **dict(kv.split("=", 1) for kv in args.conf),
+        },
     )
     workdir = args.workdir or tempfile.mkdtemp(prefix="semspark_latprof_")
 
@@ -102,7 +114,15 @@ def main():
 
     stream = read_transcript_stream(spark, indir, max_files_per_trigger=1)
     t0 = time.monotonic()
-    q, _ = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt, watermark=args.watermark)
+    if args.rules:
+        from semstreams_spark.rules.engine import DEFAULT_RULES
+        from semstreams_spark.streaming.rules_stage import build_ingest_with_rules
+
+        q, _, _ = build_ingest_with_rules(
+            stream, outdir, DEFAULT_RULES, checkpoint_dir=ckpt, watermark=args.watermark
+        )
+    else:
+        q, _ = build_ingest_stream(stream, outdir, checkpoint_dir=ckpt, watermark=args.watermark)
     q.awaitTermination()
     wall = time.monotonic() - t0
 
@@ -137,6 +157,23 @@ def main():
         )
     print(json.dumps(rows, indent=1))
     trig = sorted(r["trigger"] for r in rows)
+
+    # stream-age growth stats (the soak's point): an always-on stream
+    # must NOT get slower as history accumulates. OLS slope of trigger
+    # wall on batch index over the steady region, plus the noise-robust
+    # first-half vs second-half medians.
+    steady = [r["trigger"] for r in rows[4:] if r["trigger"] is not None]
+    slope = None
+    med1 = med2 = None
+    if len(steady) >= 8:
+        n = len(steady)
+        xbar = (n - 1) / 2.0
+        ybar = sum(steady) / n
+        sxy = sum((i - xbar) * (y - ybar) for i, y in enumerate(steady))
+        sxx = sum((i - xbar) ** 2 for i in range(n))
+        slope = round(sxy / sxx, 3)
+        h1, h2 = sorted(steady[: n // 2]), sorted(steady[n // 2 :])
+        med1, med2 = h1[len(h1) // 2], h2[len(h2) // 2]
     print(
         json.dumps(
             {
@@ -149,6 +186,10 @@ def main():
                 else None,
                 "sum_addBatch_ms": sum(r["addBatch"] or 0 for r in rows),
                 "sum_trigger_ms": sum(r["trigger"] or 0 for r in rows),
+                "trigger_slope_ms_per_batch": slope,
+                "med_first_half_ms": med1,
+                "med_second_half_ms": med2,
+                "rules_stage": bool(args.rules),
             }
         )
     )
