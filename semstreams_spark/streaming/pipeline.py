@@ -40,6 +40,28 @@ def read_transcript_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    return _validate(raw)
+
+
+def read_transcript_stream_from_table(
+    spark: SparkSession, table: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Catalog-table micro-batch source: the north-star's "read
+    micro-batches from an Iceberg table" shape. The table is resolved by
+    NAME through the session catalog (bind it with
+    ``plans.catalog.bind_published_tables`` — on a lakehouse-equipped
+    cluster the same call streams an Iceberg table's snapshot feed; on
+    this runtime it is the file-source table incarnation). Validation
+    is identical to the path source, so downstream parity holds by
+    construction (test-asserted)."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .table(table)
+    )
+    return _validate(raw)
+
+
+def _validate(raw: DataFrame) -> DataFrame:
     # message validation (reference Validate(), message/message.go:20-44):
     # rows missing identity or event time are dropped, not propagated —
     # also guards against foreign parquet files in the input directory
