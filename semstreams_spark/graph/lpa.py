@@ -23,11 +23,39 @@ from pyspark.sql import functions as F
 from ._width import iteration_shuffle_width
 
 
-def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def lpa_communities(
+    edges: DataFrame, max_iter: int = 10, local_max_edges: int | None = None
+) -> DataFrame:
     """(entity, community) — community = min entity id of the cluster's
-    converged label. Undirected propagation."""
-    bidir = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    converged label. Undirected propagation.
+
+    Adaptive execution (same dispatch as pagerank_exact): under
+    ``local_max_edges`` (default 2M, env
+    ``SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES``) the vote loop runs vectorized
+    in ONE executor task — bit-identical (min-label votes are
+    order-free; parity-tested) without max_iter join+agg rounds of
+    fixed cost. Larger graphs take the distributed loop."""
+    from .local_solve import local_max_edges as _lme, lpa_local
+
+    # pin the (possibly expensively derived) edge input before the
+    # dispatch count — it feeds either path exactly once more. Only
+    # take ownership if the caller hasn't already cached this plan
+    # (lpa_hierarchy has): unpersisting a borrowed cache would evict it
+    # mid-flight for the caller.
+    e = edges.select("src", "dst")
+    # storageLevel plan-matches against the cache manager (is_cached
+    # does not): a projection of a cached plan reports the cached level
+    lvl = e.storageLevel
+    owned = not (lvl.useMemory or lvl.useDisk)
+    if owned:
+        e = e.cache()
+    if e.count() <= _lme(local_max_edges):
+        out = lpa_local(e, max_iter).localCheckpoint(eager=True)
+        if owned:
+            e.unpersist()
+        return out
+    bidir = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # self-loop per node = one self-vote (see module docstring)
     und = (
@@ -40,7 +68,9 @@ def lpa_communities(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("entity"))
     )
-    n = labels.count()
+    n = labels.count()  # materializes und's cache; e no longer needed
+    if owned:
+        e.unpersist()
     # label votes are min_by-deterministic regardless of partitioning, so
     # the graph-sized shuffle width changes only per-iteration fixed cost
     with iteration_shuffle_width(edges.sparkSession, n):

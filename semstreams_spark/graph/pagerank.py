@@ -35,6 +35,7 @@ def pagerank_exact(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank: (entity, rank) with rank ≈ true_rank ×
     scale, all arithmetic in BIGINT.
@@ -47,8 +48,25 @@ def pagerank_exact(
     1/scale per node — ranking-order-equivalent to the float form).
     Mirrors the reference's damped iteration (``pkg/graphclustering/
     pagerank.go:50-219``) at fixed iteration count.
+
+    Adaptive execution: a graph under ``local_max_edges`` (default 2M,
+    env ``SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES``) runs the whole loop
+    vectorized inside ONE executor task instead of max_iter distributed
+    join+agg rounds — bit-identical by construction (integer arithmetic
+    is order-free; parity-tested), and the per-iteration fixed costs
+    that dominate small graphs vanish. Larger graphs take the
+    distributed loop below — the 100 TB path.
     """
-    edges = edges.select("src", "dst").cache()  # input derivation runs once
+    # input derivation runs once; only take cache ownership if the
+    # caller hasn't already cached this plan (unpersisting a borrowed
+    # cache would evict it mid-flight for the caller)
+    edges = edges.select("src", "dst")
+    # storageLevel plan-matches against the cache manager (is_cached
+    # does not): a projection of a cached plan reports the cached level
+    lvl = edges.storageLevel
+    owned = not (lvl.useMemory or lvl.useDisk)
+    if owned:
+        edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
@@ -57,9 +75,21 @@ def pagerank_exact(
     )
     n = nodes.count()
     if n == 0:
-        edges.unpersist()
+        if owned:
+            edges.unpersist()
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    from .local_solve import local_max_edges as _lme, pagerank_local
+
+    if edges.count() <= _lme(local_max_edges):
+        # eager so the cached inputs can be released before returning
+        out = pagerank_local(edges, max_iter, scale, damping_num, damping_den).localCheckpoint(
+            eager=True
+        )
+        nodes.unpersist()
+        if owned:
+            edges.unpersist()
+        return out
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
     dangling_nodes = nodes.join(out_deg, nodes["entity"] == out_deg["src"], "left_anti").cache()
@@ -97,7 +127,8 @@ def pagerank_exact(
     nodes.unpersist()
     links.unpersist()
     dangling_nodes.unpersist()
-    edges.unpersist()
+    if owned:
+        edges.unpersist()
     return ranks
 
 

@@ -110,7 +110,9 @@ def test_pagerank_exact_no_cartesian_blowup(spark):
     from semstreams_spark.graph import pagerank_exact
 
     e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
-    pr = pagerank_exact(e, max_iter=2)
+    # local_max_edges=0 pins the DISTRIBUTED loop's plan (the adaptive
+    # dispatch would otherwise take the single-task path on 3 edges)
+    pr = pagerank_exact(e, max_iter=2, local_max_edges=0)
     p = _plan(pr)
     assert "CartesianProduct" not in p
     ranks = {r["entity"]: r["rank"] for r in pr.collect()}
