@@ -318,6 +318,10 @@ def embedding_near_dups(
             .select("band", "sig")
         )
         sig = sig.join(ok, ["band", "sig"], "left_semi")
+    # the signature subtree feeds BOTH sides of the self-join: a lazy
+    # local checkpoint computes it once per action instead of twice
+    # (exchange reuse alone doesn't dedupe it under AQE re-planning)
+    sig = sig.localCheckpoint(eager=False)
     l, r = sig.alias("l"), sig.alias("r")
     cand = (
         l.join(

@@ -393,6 +393,31 @@ def test_banded_neardup_recovers_all_plants(spark):
         assert abs(got[(v, v + 1000000)] - target) < 1e-5
 
 
+def test_planted_corpus_numpy_matches_catalyst(spark):
+    """The numpy mapInPandas plant builder must be BIT-IDENTICAL to the
+    staged Catalyst fold tree it replaced (same sequential per-element
+    operation order, float64 throughout, final float32 cast) — the
+    DuckDB oracle mirrors the Catalyst form, so any fp divergence here
+    would silently skew the gate's bucket membership."""
+    import struct
+
+    import __spark_entry__ as entry
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = {r["vec_id"]: r["embedding"] for r in entry.planted_neardup_corpus(e).collect()}
+    b = {
+        r["vec_id"]: r["embedding"]
+        for r in entry._planted_neardup_corpus_catalyst(e).collect()
+    }
+    assert set(a) == set(b) and len(a) > len(e.collect())
+    for vid in a:
+        bits_a = [struct.pack("<f", x) for x in a[vid]]
+        bits_b = [struct.pack("<f", x) for x in b[vid]]
+        assert bits_a == bits_b, f"fp divergence at vec_id={vid}"
+
+
 def test_banded_neardup_no_false_positives_below_threshold(spark):
     """The verify step: base-corpus pairs (max natural cosine ≈0.49) never
     appear, whatever the buckets say."""
