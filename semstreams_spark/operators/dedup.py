@@ -68,7 +68,9 @@ def jaccard_pairs(
     sensible thresholds is unaffected; leave None for the exact oracle
     form.
     """
-    s = shingle_sets(docs, id_col, text_col, n)
+    # the shingle set feeds the size agg AND both self-join sides (and
+    # the df cap when set): compute it once per action
+    s = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
         df_ok = (
@@ -105,13 +107,15 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>[k]) MinHash signatures.
 
     h_i(x) = (a_i * H(x) + b_i) mod p with fixed odd a_i, b_i — one base
     hash per shingle, k affine transforms folded in a single aggregate
-    (no k-fold explode)."""
-    s = shingle_sets(docs, id_col, text_col, n).withColumn(
+    (no k-fold explode). ``shingles`` lets a caller that already built
+    the (doc_id, shingle) set share it instead of re-deriving it."""
+    s = (shingles if shingles is not None else shingle_sets(docs, id_col, text_col, n)).withColumn(
         "h", portable_hash(F.col("shingle")) % F.lit(_P)
     )
     aggs = [
@@ -145,6 +149,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # both self-join sides read the banded slices: once per action
+    banded = banded.localCheckpoint(eager=False)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -166,8 +172,10 @@ def minhash_dedup(
     n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(minhash_signatures(docs, k=k, n=n), bands, k // bands)
-    s = shingle_sets(docs, n=n)
+    # one shingle set shared by the signature pass AND the exact verify
+    # (sizes + both intersect sides) — five consumers, one computation
+    s = shingle_sets(docs, n=n).localCheckpoint(eager=False)
+    cand = minhash_lsh_candidates(minhash_signatures(docs, k=k, n=n, shingles=s), bands, k // bands)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
@@ -246,6 +254,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.cv")
+    # both self-join sides read the chunked fingerprints: once per action
+    chunks = chunks.localCheckpoint(eager=False)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
