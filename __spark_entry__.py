@@ -339,6 +339,9 @@ def _entity_edges(spark, sf_dir):
             F.element_at(F.split(F.col("object"), r"\."), -1).alias("e"),
         )
         .distinct()
+        # NB: no checkpoint here — both self-join sides shuffle m on the
+        # same key, so Catalyst's ReusedExchange already computes it
+        # once (A/B-verified: a checkpoint only adds materialization)
     )
     a, b = m.alias("a"), m.alias("b")
     return (
@@ -487,6 +490,9 @@ def _mention_context_texts(triples):
     """(entity, text): each entity's LATEST mention-context turn text, LWW
     on (ts, seq, text) — the real node text the reference scores against
     (not a name surrogate); one max_by hash-agg, scale-safe."""
+    # NB: men and txt both filter the same extraction, but checkpointing
+    # the shared slice LOSES (A/B at sf0.1: 3.5 -> 5.6 s) — the Arrow
+    # extraction is cheaper than materializing the text rows
     men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
         F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"),
         "subject",
