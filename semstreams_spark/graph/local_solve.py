@@ -19,7 +19,7 @@ Both operators were deliberately designed order-free (BIGINT fixed-point
 PageRank; min-label majority LPA), so the two paths are BIT-IDENTICAL —
 asserted by parity tests on random graphs (``tests/test_local_solve.py``)
 and by the unchanged DuckDB gates, which exercise the local path at
-sf0.01. Threshold override: ``SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES``
+sf0.01. Threshold override: ``SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES``
 (0 disables the local path entirely).
 
 Reference semantics anchors: damped iteration
@@ -41,7 +41,7 @@ DEFAULT_LOCAL_MAX_EDGES = 2_000_000
 
 
 def local_max_edges(default: int | None = None) -> int:
-    env = os.environ.get("SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES")
+    env = os.environ.get("SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES")
     if env is not None:
         return int(env)
     return DEFAULT_LOCAL_MAX_EDGES if default is None else default

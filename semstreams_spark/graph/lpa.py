@@ -31,7 +31,7 @@ def lpa_communities(
 
     Adaptive execution (same dispatch as pagerank_exact): under
     ``local_max_edges`` (default 2M, env
-    ``SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES``) the vote loop runs vectorized
+    ``SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES``) the vote loop runs vectorized
     in ONE executor task — bit-identical (min-label votes are
     order-free; parity-tested) without max_iter join+agg rounds of
     fixed cost. Larger graphs take the distributed loop."""

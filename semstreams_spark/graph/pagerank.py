@@ -50,7 +50,7 @@ def pagerank_exact(
     pagerank.go:50-219``) at fixed iteration count.
 
     Adaptive execution: a graph under ``local_max_edges`` (default 2M,
-    env ``SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES``) runs the whole loop
+    env ``SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES``) runs the whole loop
     vectorized inside ONE executor task instead of max_iter distributed
     join+agg rounds — bit-identical by construction (integer arithmetic
     is order-free; parity-tested), and the per-iteration fixed costs

@@ -88,9 +88,9 @@ def test_lpa_local_two_triangles_bridge(spark):
 def test_dispatch_threshold_env_override(spark, monkeypatch):
     from semstreams_spark.graph.local_solve import local_max_edges
 
-    monkeypatch.setenv("SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES", "7")
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES", "7")
     assert local_max_edges() == 7
     assert local_max_edges(123) == 7  # env wins over the caller default
-    monkeypatch.delenv("SEMSTREAMS_LOCAL_GRAPH_MAX_EDGES")
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_GRAPH_MAX_EDGES")
     assert local_max_edges() == 2_000_000
     assert local_max_edges(0) == 0
