@@ -17,6 +17,10 @@ def _random_graph(seed: int, n_nodes: int, n_edges: int) -> list[tuple[str, str]
     length ids (lexicographic tie-break coverage) all occur."""
     rng = random.Random(seed)
     names = [f"e{i}" for i in range(n_nodes)] + [f"ent_{i:03d}" for i in range(n_nodes // 3)]
+    # non-ASCII ids pin that numpy's code-point string order matches
+    # Spark's binary UTF-8 order in the min-label tie-break (UTF-8 is
+    # code-point-order-preserving, so they must agree)
+    names += ["éntity_α", "实体_1", "entity_\U0001f600"]
     edges = []
     for _ in range(n_edges):
         s, d = rng.choice(names), rng.choice(names)
