@@ -22,7 +22,17 @@ from pyspark.sql import functions as F
 from semstreams_spark import oracles
 from semstreams_spark.datagen import ensure_transcripts, sf_from_dir, transcripts_path, aliases_path
 from semstreams_spark.extract import extract_triples
+from semstreams_spark.extract.triples import MENTION_RE
 from semstreams_spark.operators import entity_states, nodes_table, edges_table, predicate_to_edge_type
+from semstreams_spark.operators.merge import (
+    edges_table_source_clustered,
+    entity_states_source_clustered,
+    nodes_table_source_clustered,
+)
+
+# mention object ids are the entity name behind this fixed prefix — the
+# direct-derivation helpers below rebuild them without the triple fan-out
+ENTITY_PREFIX = "test.local.graph.kb.entity."
 from semstreams_spark.operators.joins import tool_invocation_correlation, turn_with_prior
 from semstreams_spark.operators.sessions import sessionize
 from semstreams_spark.operators.windows import entity_cooccurrence, node_degree_tumbling
@@ -62,15 +72,22 @@ def q_triples_extract(spark, sf_dir):
 
 
 def q_entity_states(spark, sf_dir):
-    return entity_states(extract_triples(_transcripts(spark, sf_dir)))
+    """r6: source-clustered form — same rows as
+    entity_states(extract_triples(t)) (parity-tested + oracle-gated), with
+    the aggregation sort+exchange of the full triple fan-out removed
+    (guide §2.4/§8: (conv_id, turn_idx) is unique, so no LWW group spans
+    input rows)."""
+    return entity_states_source_clustered(_transcripts(spark, sf_dir))
 
 
 def q_graph_nodes(spark, sf_dir):
-    return nodes_table(extract_triples(_transcripts(spark, sf_dir)))
+    """r6: source-clustered form of nodes_table(extract_triples(t))."""
+    return nodes_table_source_clustered(_transcripts(spark, sf_dir))
 
 
 def q_graph_edges(spark, sf_dir):
-    return edges_table(extract_triples(_transcripts(spark, sf_dir)))
+    """r6: source-clustered form of edges_table(extract_triples(t))."""
+    return edges_table_source_clustered(_transcripts(spark, sf_dir))
 
 
 def q_edges_resolved(spark, sf_dir):
@@ -112,26 +129,43 @@ def q_sessions(spark, sf_dir):
     return sessionize(_transcripts(spark, sf_dir), gap_minutes=30)
 
 
+def _mention_rows(spark, sf_dir):
+    """One row per mention OCCURRENCE, derived directly from transcripts:
+    (conv_id, entity name, full entity id, turn subject, ts, seq). Row-for-
+    row identical to filtering extract_triples to conv.turn.mentions (the
+    mention object is ENTITY_PREFIX + name and names match [a-z0-9_]+, so
+    the id↔name round-trip is the identity) — without materializing the
+    5-7× triple fan-out and its text payloads (guide §2.3: shuffle/derive
+    fewer bytes)."""
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(MENTION_RE), F.lit(1))).alias("e"),
+        "text",
+        "ts",
+        F.col("turn_idx").cast("int").alias("seq"),
+        "turn_idx",
+    )
+
+
 def q_degree_tumbling(spark, sf_dir):
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    m = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
-        F.col("object").alias("src"), F.col("subject").alias("dst"), "ts"
+    m = _mention_rows(spark, sf_dir).select(
+        F.concat(F.lit(ENTITY_PREFIX), F.col("e")).alias("src"),
+        F.concat(
+            F.lit("test.local.conv."), F.col("conv_id"), F.lit(".turn."), F.col("turn_idx").cast("string")
+        ).alias("dst"),
+        "ts",
     )
     return node_degree_tumbling(m, "5 minutes")
 
 
 def q_cooccur_5min(spark, sf_dir):
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    m = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
-        F.col("context").alias("conv_id"),
-        F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"),
-        "ts",
-    )
+    m = _mention_rows(spark, sf_dir).select("conv_id", F.col("e").alias("entity"), "ts")
     return entity_cooccurrence(m, "5 minutes")
 
 
 def q_rule_events(spark, sf_dir):
-    st = entity_states(extract_triples(_transcripts(spark, sf_dir)))
+    st = entity_states_source_clustered(_transcripts(spark, sf_dir))
     return evaluate_rules(st, DEFAULT_RULES)
 
 
@@ -329,26 +363,37 @@ def q_hybrid_search(spark, sf_dir):
 # --------------------------------------------------------- graph analytics
 
 
+def _conv_entity_pairs(spark, sf_dir):
+    """Per-conversation co-mention pairs (src < dst), one row per
+    (conv, pair): mentions derived directly from transcripts (no triple
+    fan-out), deduped per conversation by ONE collect_set aggregation
+    (map-side combinable), pairs generated JVM-side from the sorted set —
+    the same self-join→pair-explode reshape entity_cooccurrence measured
+    4.7× faster at sf0.1 (guide §2.4: the join and two of its exchanges
+    are gone; one groupBy exchange remains)."""
+    m = _mention_rows(spark, sf_dir).select("conv_id", "e")
+    per_conv = m.groupBy("conv_id").agg(F.sort_array(F.collect_set("e")).alias("ents"))
+    return per_conv.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ents"), i + 2, F.size(F.col("ents"))),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+
+
 def _entity_edges(spark, sf_dir):
-    """Entity co-mention graph: distinct (e1 < e2) pairs per conversation."""
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    m = (
-        triples.filter(F.col("predicate") == "conv.turn.mentions")
-        .select(
-            F.col("context").alias("conv_id"),
-            F.element_at(F.split(F.col("object"), r"\."), -1).alias("e"),
-        )
-        .distinct()
-        # NB: no checkpoint here — both self-join sides shuffle m on the
-        # same key, so Catalyst's ReusedExchange already computes it
-        # once (A/B-verified: a checkpoint only adds materialization)
-    )
-    a, b = m.alias("a"), m.alias("b")
-    return (
-        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.e") < F.col("b.e")))
-        .select(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
-        .distinct()
-    )
+    """Entity co-mention graph: distinct (e1 < e2) pairs per conversation.
+    r6: pair-explode reshape replaces the m⋈m self-join — identical rows
+    (a sorted distinct set's (i<j) pairs ARE the a.e<b.e join output),
+    oracle-gated via every graph-family query."""
+    return _conv_entity_pairs(spark, sf_dir).distinct()
 
 
 def q_path_2hop(spark, sf_dir):
@@ -371,9 +416,12 @@ def q_paths_2hop(spark, sf_dir):
 def q_sliding_degree(spark, sf_dir):
     from semstreams_spark.operators.windows import node_degree_sliding
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    m = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
-        F.col("object").alias("src"), F.col("subject").alias("dst"), "ts"
+    m = _mention_rows(spark, sf_dir).select(
+        F.concat(F.lit(ENTITY_PREFIX), F.col("e")).alias("src"),
+        F.concat(
+            F.lit("test.local.conv."), F.col("conv_id"), F.lit(".turn."), F.col("turn_idx").cast("string")
+        ).alias("dst"),
+        "ts",
     )
     return node_degree_sliding(m, "10 minutes", "5 minutes")
 
@@ -400,20 +448,8 @@ def _parity_edges(spark, sf_dir):
     parity (co-occurrence weight >= 3 intra-cohort) bridged only by the
     strongest cross-cohort ties (weight >= 300) — level 0 finds the two
     cohorts, level 1 merges them through the bridges."""
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    m = (
-        triples.filter(F.col("predicate") == "conv.turn.mentions")
-        .select(
-            F.col("context").alias("conv_id"),
-            F.element_at(F.split(F.col("object"), r"\."), -1).alias("e"),
-        )
-        .distinct()
-    )
-    a, b = m.alias("a"), m.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.conv_id") == F.col("b.conv_id")) & (F.col("a.e") < F.col("b.e")))
-        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
+    pairs = _conv_entity_pairs(spark, sf_dir).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
     )
     par = lambda c: F.element_at(F.split(F.col(c), "_"), -1).try_cast("int") % 2  # noqa: E731
     same = par("src") == par("dst")
@@ -486,26 +522,21 @@ def q_embedding_sim_pairs(spark, sf_dir):
 GRAPHRAG_QUERY = "ent_000 ent_001"
 
 
-def _mention_context_texts(triples):
+def _mention_context_texts(spark, sf_dir):
     """(entity, text): each entity's LATEST mention-context turn text, LWW
     on (ts, seq, text) — the real node text the reference scores against
-    (not a name surrogate); one max_by hash-agg, scale-safe."""
-    # NB: men and txt both filter the same extraction, but checkpointing
-    # the shared slice LOSES (A/B at sf0.1: 3.5 -> 5.6 s) — the Arrow
-    # extraction is cheaper than materializing the text rows
-    men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
-        F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"),
-        "subject",
-        "ts",
-        "seq",
-    )
-    txt = triples.filter(F.col("predicate") == "conv.turn.text").select(
-        "subject", F.col("object").alias("text")
-    )
-    return (
-        men.join(txt, "subject")
-        .groupBy("entity")
-        .agg(F.max_by("text", F.struct("ts", "seq", "text")).alias("text"))
+    (not a name surrogate); one max_by hash-agg, scale-safe.
+
+    r6: derived directly from transcripts — the mention triple and the
+    text triple of one turn come from the SAME transcript row, so the old
+    men⋈txt join on subject (two shuffles of extraction output) is the
+    identity: (entity, turn.text, ts, seq) per mention occurrence. The
+    max_by partial-aggregates map-side to ~one row per entity per scan
+    partition, so the remaining exchange carries O(entities × partitions)
+    rows instead of the joined mention stream (guide §2.3/§2.4)."""
+    men = _mention_rows(spark, sf_dir).select(F.col("e").alias("entity"), "text", "ts", "seq")
+    return men.groupBy("entity").agg(
+        F.max_by("text", F.struct("ts", "seq", "text")).alias("text")
     )
 
 
@@ -738,14 +769,13 @@ def q_graphrag_global(spark, sf_dir):
     from semstreams_spark.graph.graphrag import global_search
     from semstreams_spark.graph.summarize import community_summaries
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
     edges = _entity_edges(spark, sf_dir).filter(
         F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
     )
     members = lpa_communities(edges, max_iter=6).cache()
     # texts feed two branches of the final plan (summaries + rerank);
     # cache so mention-context derivation runs once
-    texts = _mention_context_texts(triples).cache()
+    texts = _mention_context_texts(spark, sf_dir).cache()
     summaries = community_summaries(members, texts, k_terms=5)
     return global_search(members, summaries, texts, GRAPHRAG_QUERY, top_communities=3)
 
@@ -761,9 +791,8 @@ def q_entity_delete(spark, sf_dir):
     active, edges survive); version bumps per tombstone."""
     from semstreams_spark.operators.mutations import edges_after_deletes, nodes_with_status
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
-    men = triples.filter(F.col("predicate") == "conv.turn.mentions").select(
-        F.col("object").alias("id"), "ts", "seq"
+    men = _mention_rows(spark, sf_dir).select(
+        F.concat(F.lit(ENTITY_PREFIX), F.col("e")).alias("id"), "ts", "seq"
     )
     nodes = (
         men.groupBy("id")
@@ -781,7 +810,7 @@ def q_entity_delete(spark, sf_dir):
     )
     nws = nodes_with_status(nodes, deletes)
     live = (
-        edges_after_deletes(edges_table(triples), deletes)
+        edges_after_deletes(edges_table_source_clustered(_transcripts(spark, sf_dir)), deletes)
         .groupBy(F.col("dst").alias("id"))
         .agg(F.count(F.lit(1)).alias("n_live"))
     )
@@ -808,10 +837,9 @@ def q_spatial_bbox(spark, sf_dir):
     from semstreams_spark.operators.textops import geo_bin, synthetic_coords
     from semstreams_spark.plans.api import GraphQueryAPI
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
     ents = (
-        triples.filter(F.col("predicate") == "conv.turn.mentions")
-        .select(F.col("object").alias("id"))
+        _mention_rows(spark, sf_dir)
+        .select(F.concat(F.lit(ENTITY_PREFIX), F.col("e")).alias("id"))
         .distinct()
     )
     coords = synthetic_coords(ents, "id")
@@ -832,11 +860,10 @@ def q_entity_semantic_topk(spark, sf_dir):
     from semstreams_spark.operators.similarity import cosine_topk
     from semstreams_spark.search.embedder import embed_entities_deduped, embed_text_py
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
     # texts feed the hash branch AND the join-back inside
     # embed_entities_deduped — cache so the mention-context derivation
-    # (extract + join + max_by) runs once
-    emb = embed_entities_deduped(_mention_context_texts(triples).cache(), dim=384)
+    # runs once
+    emb = embed_entities_deduped(_mention_context_texts(spark, sf_dir).cache(), dim=384)
     top = cosine_topk(emb, embed_text_py(ENTITY_QUERY), k=10, id_col="entity", vec_col="embedding")
     return top.select(F.col("vec_id").alias("entity"), F.round("cosine", 6).alias("cosine"))
 
@@ -900,12 +927,11 @@ def q_graphrag_local(spark, sf_dir):
     from semstreams_spark.graph import lpa_communities
     from semstreams_spark.graph.graphrag import local_search
 
-    triples = extract_triples(_transcripts(spark, sf_dir))
     edges = _entity_edges(spark, sf_dir).filter(
         F.col("src").startswith("ent_") & F.col("dst").startswith("ent_")
     )
     members = lpa_communities(edges, max_iter=6).cache()
-    texts = _mention_context_texts(triples)
+    texts = _mention_context_texts(spark, sf_dir)
     return local_search(members, texts, "ent_001", GRAPHRAG_QUERY)
 
 
@@ -946,7 +972,7 @@ def q_rels_in_entity(spark, sf_dir):
     indexes.go:405-508)."""
     from semstreams_spark.plans.api import GraphQueryAPI
 
-    edges = edges_table(extract_triples(_transcripts(spark, sf_dir)))
+    edges = edges_table_source_clustered(_transcripts(spark, sf_dir))
     api = GraphQueryAPI(nodes=None, edges=edges, triples=None)
     return api.relationships_in(RELS_ENTITY)
 
@@ -956,7 +982,7 @@ def q_rule_and_events(spark, sf_dir):
     same subject; event ts = max over contributing predicates."""
     from semstreams_spark.rules.engine import Condition, Rule
 
-    st = entity_states(extract_triples(_transcripts(spark, sf_dir)))
+    st = entity_states_source_clustered(_transcripts(spark, sf_dir))
     rule = Rule(
         id="tool_role_calc",
         logic="and",
@@ -976,7 +1002,7 @@ def q_graph_snapshot(spark, sf_dir):
     + type filter + MaxEntities truncation with flag."""
     from semstreams_spark.plans.api import GraphQueryAPI
 
-    nodes = nodes_table(extract_triples(_transcripts(spark, sf_dir)))
+    nodes = nodes_table_source_clustered(_transcripts(spark, sf_dir))
     api = GraphQueryAPI(nodes=nodes, edges=None, triples=None)
     snap, truncated = api.snapshot(
         start=F.lit(SNAP_START).cast("timestamp_ntz"),
@@ -995,9 +1021,7 @@ def q_context_flags(spark, sf_dir):
     from semstreams_spark.rules.engine import Condition, Rule
 
     edges = _entity_edges(spark, sf_dir).withColumn("edge_type", F.lit("comention"))
-    men = extract_triples(_transcripts(spark, sf_dir)).filter(
-        F.col("predicate") == "conv.turn.mentions"
-    ).select(F.element_at(F.split(F.col("object"), r"\."), -1).alias("entity"), "ts")
+    men = _mention_rows(spark, sf_dir).select(F.col("e").alias("entity"), "ts")
     states = men.groupBy("entity").agg(
         F.count(F.lit(1)).alias("n"), F.max("ts").alias("ts")
     ).select(

@@ -67,6 +67,84 @@ def entity_states(triples: DataFrame) -> DataFrame:
     )
 
 
+def entity_states_source_clustered(transcripts: DataFrame) -> DataFrame:
+    """``entity_states(extract_triples(transcripts))`` computed WITHOUT the
+    aggregation exchange — the §8-style "use what the optimizer cannot know"
+    form for inputs where ``(conv_id, turn_idx)`` is unique (the transcript
+    table contract, FIXTURES §1; asserted by
+    ``tests/test_merge.py::test_transcript_key_uniqueness``).
+
+    Under that invariant every LWW group ``(subject, predicate)`` originates
+    from exactly ONE transcript row (subject embeds the row key), so the
+    ``max_by(…, struct(ts, seq, object))`` winner is computable inside the
+    scan task, with no shuffle:
+
+    - the singleton predicates (rdf:type/role/text/in/tool) are their own
+      winners;
+    - all ``conv.turn.mentions`` triples of a turn share ``(ts, seq)``, so
+      the winner is the greatest ``object`` string — ``array_max`` over the
+      mention ids (same binary string ordering as the aggregate).
+
+    Output schema and rows are identical to the aggregated form (parity
+    test ``tests/test_merge.py::test_entity_states_source_clustered_parity``,
+    DuckDB gate ``entity_states``). The general :func:`entity_states` stays
+    the operator for arbitrary triple streams, where groups span rows.
+
+    Plan shape: Scan → Generate → Project (was: Scan → Generate → Sort →
+    SortAggregate → Exchange → Sort → SortAggregate) — the whole sort +
+    shuffle of the 5-7× triple fan-out (with text payloads) is gone.
+    """
+    from ..extract.triples import MENTION_RE
+
+    t3 = lambda pred, obj, otype: F.struct(  # noqa: E731
+        pred.alias("predicate"), obj.alias("object"), otype.alias("object_type")
+    )
+    lit = F.lit
+    base = F.array(
+        t3(lit("rdf:type"), lit("conv.turn"), lit("string")),
+        t3(lit("conv.turn.role"), F.col("role"), lit("string")),
+        t3(lit("conv.turn.text"), F.col("text"), lit("string")),
+        t3(
+            lit("conv.turn.in"),
+            F.concat(lit("test.local.graph.kb.conversation."), F.col("conv_id")),
+            lit("entity_ref"),
+        ),
+    )
+    empty = F.array().cast("array<struct<predicate:string,object:string,object_type:string>>")
+    tool_arr = F.when(
+        F.col("tool").isNotNull(),
+        F.array(t3(lit("conv.turn.tool"), F.col("tool"), lit("string"))),
+    ).otherwise(empty)
+    mention_ids = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(MENTION_RE), F.lit(1)),
+        lambda m: F.concat(lit("test.local.graph.kb.entity."), m),
+    )
+    mention_arr = F.when(
+        F.size(mention_ids) > 0,
+        F.array(t3(lit("conv.turn.mentions"), F.array_max(mention_ids), lit("entity_ref"))),
+    ).otherwise(empty)
+    return (
+        transcripts.select(
+            F.concat(
+                lit("test.local.conv."), F.col("conv_id"), lit(".turn."), F.col("turn_idx").cast("string")
+            ).alias("subject"),
+            F.explode(F.concat(base, tool_arr, mention_arr)).alias("t"),
+            "ts",
+            F.col("conv_id").alias("context"),
+        )
+        .select(
+            "subject",
+            F.col("t.predicate").alias("predicate"),
+            F.col("t.object").alias("object"),
+            F.col("t.object_type").alias("object_type"),
+            F.lit("transcript_extractor").alias("source"),
+            "ts",
+            F.lit(1.0).alias("confidence"),
+            "context",
+        )
+    )
+
+
 def nodes_table(triples: DataFrame) -> DataFrame:
     """Node per distinct subject: id, type, status, version, updated_at.
 
@@ -89,6 +167,80 @@ def nodes_table(triples: DataFrame) -> DataFrame:
         )
         .withColumn("status", F.lit("active"))
         .select("id", "type", "status", "version", "updated_at")
+    )
+
+
+def nodes_table_source_clustered(transcripts: DataFrame) -> DataFrame:
+    """``nodes_table(extract_triples(transcripts))`` without the exchange,
+    under the same unique-``(conv_id, turn_idx)`` contract as
+    :func:`entity_states_source_clustered`: each node id embeds the row key,
+    so per-node aggregates collapse per input row — ``version`` (distinct
+    ``(ts, seq)`` events) is exactly 1 and ``updated_at`` is the row's own
+    ``ts``. Parity-tested + gated (``graph_nodes``)."""
+    node_id = F.concat(
+        F.lit("test.local.conv."), F.col("conv_id"), F.lit(".turn."), F.col("turn_idx").cast("string")
+    )
+    return transcripts.select(
+        node_id.alias("id"),
+        F.coalesce(F.try_element_at(F.split(node_id, r"\."), F.lit(5)), F.lit("entity")).alias("type"),
+        F.lit("active").alias("status"),
+        F.lit(1).cast("long").alias("version"),
+        F.col("ts").alias("updated_at"),
+    )
+
+
+def edges_table_source_clustered(transcripts: DataFrame) -> DataFrame:
+    """``edges_table(extract_triples(transcripts))`` without the exchange,
+    under the unique-``(conv_id, turn_idx)`` contract: the edge key
+    ``(src, dst, edge_type)`` has ``src`` = the turn subject, so every edge
+    group lives inside one input row — the in-edge is a singleton and each
+    distinct mention id aggregates its occurrence count within the row's
+    own mention array. Parity-tested + gated (``graph_edges``)."""
+    from ..extract.triples import MENTION_RE
+
+    mention_ids = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(MENTION_RE), F.lit(1)),
+        lambda m: F.concat(F.lit("test.local.graph.kb.entity."), m),
+    )
+    etype = lambda s: F.lit(s)  # noqa: E731
+    e3 = lambda dst, et, n: F.struct(  # noqa: E731
+        dst.alias("dst"), et.alias("edge_type"), n.alias("n_obs")
+    )
+    empty = F.array().cast("array<struct<dst:string,edge_type:string,n_obs:bigint>>")
+    in_edge = e3(
+        F.concat(F.lit("test.local.graph.kb.conversation."), F.col("conv_id")),
+        etype("in_turn"),
+        F.lit(1).cast("long"),
+    )
+    md = F.array_distinct(mention_ids)
+    mention_edges = F.when(
+        F.size(md) > 0,
+        F.transform(
+            md,
+            lambda m: e3(
+                m,
+                etype("mentions_turn"),
+                F.size(F.filter(mention_ids, lambda x: x == m)).cast("long"),
+            ),
+        ),
+    ).otherwise(empty)
+    return (
+        transcripts.select(
+            F.concat(
+                F.lit("test.local.conv."), F.col("conv_id"), F.lit(".turn."), F.col("turn_idx").cast("string")
+            ).alias("src"),
+            F.explode(F.concat(F.array(in_edge), mention_edges)).alias("e"),
+            "ts",
+        )
+        .select(
+            "src",
+            F.col("e.dst").alias("dst"),
+            F.col("e.edge_type").alias("edge_type"),
+            F.lit(1.0).alias("weight"),
+            F.col("ts").alias("created_at"),
+            F.col("ts").alias("updated_at"),
+            F.col("e.n_obs").alias("n_obs"),
+        )
     )
 
 

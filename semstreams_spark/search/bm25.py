@@ -53,10 +53,32 @@ def bm25_search(
 ) -> DataFrame:
     """Top-k BM25 scores for a query string. Deterministic: per-term
     scores are computed exactly; the per-doc sum is over ≤|query| terms
-    (rounded to 6dp for cross-engine hash stability)."""
-    postings, stats = bm25_index(docs, id_col, text_col)
+    (rounded to 6dp for cross-engine hash stability).
+
+    r6 plan reshape (guide §2.3 — shuffle fewer bytes): the full
+    (term, doc) postings aggregation over the whole vocabulary is only
+    needed for the QUERY terms, so the token stream is filtered to them
+    BEFORE that aggregation; document lengths / corpus stats still scan
+    all tokens, but collapse map-side to one row per doc. The old form
+    derived the token explode five times (dl, tf, df, stats, join) — the
+    reshape derives it twice and every join side after it is tiny.
+    Scores are value-identical (same tf/dl/df/N inputs; oracle-gated)."""
     qterms = sorted({t for t in query.lower().split() if t})
-    p = postings.filter(F.col("term").isin(qterms))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p = tf.join(dl, "doc_id")
     df_ = p.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     scored = (
         p.join(F.broadcast(df_), "term")

@@ -175,3 +175,53 @@ def test_delete_wins_ties_and_edge_cleanup(spark):
         ("s.b.c.d.e.1", "f.g.h.i.j.9"),
         (ent, "f.g.h.i.j.9"),  # observed after the tombstone -> survives
     }
+
+
+# ---------------------------------------------------------------------------
+# r6 source-clustered forms: parity with the aggregated operators on the
+# real generator output (the invariant they rely on — (conv_id, turn_idx)
+# unique — plus row-for-row equality of all three derived tables).
+
+
+def test_transcript_key_uniqueness(transcripts_small):
+    """The source-clustered operators require that no LWW group spans
+    transcript rows, i.e. (conv_id, turn_idx) is a key (FIXTURES §1)."""
+    t = transcripts_small
+    assert (
+        t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_entity_states_source_clustered_parity(transcripts_small):
+    from semstreams_spark.extract import extract_triples
+    from semstreams_spark.operators.merge import entity_states_source_clustered
+
+    fast = entity_states_source_clustered(transcripts_small)
+    slow = entity_states(extract_triples(transcripts_small))
+    assert fast.columns == slow.columns
+    assert [f.dataType for f in fast.schema.fields] == [f.dataType for f in slow.schema.fields]
+    assert _sorted_rows(fast) == _sorted_rows(slow)
+
+
+def test_nodes_table_source_clustered_parity(transcripts_small):
+    from semstreams_spark.extract import extract_triples
+    from semstreams_spark.operators.merge import nodes_table_source_clustered
+
+    fast = nodes_table_source_clustered(transcripts_small)
+    slow = nodes_table(extract_triples(transcripts_small))
+    assert fast.columns == slow.columns
+    assert _sorted_rows(fast) == _sorted_rows(slow)
+
+
+def test_edges_table_source_clustered_parity(transcripts_small):
+    from semstreams_spark.extract import extract_triples
+    from semstreams_spark.operators.merge import edges_table_source_clustered
+
+    fast = edges_table_source_clustered(transcripts_small)
+    slow = edges_table(extract_triples(transcripts_small))
+    assert fast.columns == slow.columns
+    assert _sorted_rows(fast) == _sorted_rows(slow)
