@@ -311,15 +311,18 @@ def embedding_near_dups(
     reproducible without a stored model (exact DuckDB oracle:
     oracles.sql_embedding_neardup_lsh). Reference semantics anchor:
     EMBEDDING_INDEX near-dup intent (indexmanager/config.go:185-217)."""
-    from .similarity import banded_hyperplane_signatures, cosine_sim_expr, lsh_band_params
+    from .similarity import banded_signatures_numpy, lsh_band_params
 
     if bands is None:
         bands = lsh_band_params(threshold, target_recall, rows_per_band)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    sig = e.select(
-        "vec_id",
-        F.explode(banded_hyperplane_signatures(F.col("v"), bands, rows_per_band, dim)).alias("bs"),
-    ).select("vec_id", "bs.band", "bs.sig")
+    # r6: signatures + exact verify through the Arrow numpy kernels — the
+    # Catalyst HOF folds are interpreted (outside codegen) and were the
+    # two hot spots here (guide §4.2); bucket keys and cosines are
+    # bit-identical to the expression forms (parity tests in
+    # tests/test_dedup_similarity.py), so candidates, survivors and the
+    # DuckDB gate are unchanged.
+    sig = banded_signatures_numpy(e, bands, rows_per_band, dim, id_col="vec_id", vec_col="v")
     if max_bucket_size is not None:
         ok = (
             sig.groupBy("band", "sig")
@@ -345,13 +348,41 @@ def embedding_near_dups(
     )
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_sim_expr(F.col("v_a"), F.col("v_b")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    joined = cand.join(va, "vec_a").join(vb, "vec_b")
+    return _pair_cosines_numpy(joined).filter(F.col("cosine") >= threshold)
+
+
+def _pair_cosines_numpy(joined: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine) from a frame carrying (vec_a, vec_b, v_a,
+    v_b) — Arrow numpy kernel, bit-identical to
+    ``cosine_sim_expr(v_a, v_b)`` (column-order float64 folds; parity
+    test test_pair_cosines_numpy_parity)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v_a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["v_b"].to_numpy()).astype(np.float64)
+            m, d = A.shape
+            dot = np.zeros(m)
+            na = np.zeros(m)
+            nb = np.zeros(m)
+            for k in range(d):
+                dot = dot + A[:, k] * B[:, k]
+                na = na + A[:, k] * A[:, k]
+                nb = nb + B[:, k] * B[:, k]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cosine": dot / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+
+    t = dict(joined.dtypes)
+    return joined.select("vec_a", "vec_b", "v_a", "v_b").mapInPandas(
+        gen, f"vec_a {t['vec_a']}, vec_b {t['vec_b']}, cosine double"
     )

@@ -39,6 +39,61 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _fold_dot_np(V, W):
+    """Column-order sequential-fold dot products of two (m, d) float64
+    matrices — bit-identical to Catalyst's ``aggregate(zip_with(a, b, *),
+    0.0, acc + x)`` because every element's accumulator passes through the
+    same float64 additions in the same order (the proven replay technique
+    of ``planted_neardup_corpus``)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for k in range(V.shape[1]):
+        acc = acc + V[:, k] * W[:, k]
+    return acc
+
+
+def _stack_f64(col):
+    import numpy as np
+
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def cosine_scores_numpy(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cosine) against one query vector — Arrow-batched numpy
+    kernel (guide §4.2: HOF fold expressions are interpreted, not
+    codegen'd; one numpy pass per batch replaces ~3·d interpreted lambda
+    evaluations per row). Values are BIT-IDENTICAL to
+    ``cosine_sim_expr`` (column-order folds, float64 throughout) —
+    asserted by tests/test_dedup_similarity.py::test_cosine_numpy_matches_catalyst."""
+    import numpy as np
+    import pandas as pd
+
+    q = [float(x) for x in query_vec]
+
+    def gen(it):
+        Q = np.asarray(q, dtype=np.float64)
+        nq = math.sqrt(float(_fold_dot_np(Q[None, :], Q[None, :])[0]))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _stack_f64(pdf[vec_col])
+            d = min(V.shape[1], len(Q))
+            dot = _fold_dot_np(V[:, :d], np.broadcast_to(Q[:d], (len(pdf), d)))
+            nv = np.sqrt(_fold_dot_np(V, V))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cosine": dot / (nv * nq)})
+
+    out_t = dict(embeddings.select(F.col(id_col).alias("vec_id")).dtypes)["vec_id"]
+    return embeddings.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        gen, f"vec_id {out_t}, cosine double"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -47,15 +102,12 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_self: int | None = None,
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector.
-
-    The query vector is folded into the plan as a literal array (no
-    join); deterministic tie-break by id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        cosine_sim_expr(F.col(vec_col), q).alias("cosine"),
-    )
+    """Brute-force cosine top-k against a query vector; deterministic
+    tie-break by id. The per-row cosine runs through the Arrow numpy
+    kernel (``cosine_scores_numpy`` — bit-identical to the Catalyst fold
+    form, which remains available as ``cosine_sim_expr`` for composition
+    inside larger expressions)."""
+    out = cosine_scores_numpy(embeddings, query_vec, id_col, vec_col)
     if exclude_self is not None:
         out = out.filter(F.col("vec_id") != exclude_self)
     return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
@@ -166,6 +218,61 @@ def banded_hyperplane_signatures(
     return F.array(*entries)
 
 
+def banded_signatures_numpy(
+    embeddings: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band, sig) — the exploded form of
+    ``banded_hyperplane_signatures`` computed by an Arrow numpy kernel.
+
+    The Catalyst form evaluates bands·rows_per_band interpreted fold
+    lambdas of ``dim`` terms per row (HOFs bypass codegen); here the
+    deterministic plane family is materialized driver-side once and each
+    batch runs bands·r·dim column-order float64 accumulations — the same
+    per-element operation sequence, so the sign bits (and hence every
+    bucket key) are IDENTICAL (parity test
+    tests/test_dedup_similarity.py::test_banded_signatures_numpy_parity)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = bands * rows_per_band
+    planes = [
+        np.asarray(_hyperplane(dim, i), dtype=np.float64) for i in range(n_planes)
+    ]
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+            m = len(pdf)
+            sigs = np.zeros((m, bands), dtype=np.int64)
+            for bidx in range(bands):
+                for j in range(rows_per_band):
+                    h = planes[bidx * rows_per_band + j]
+                    acc = np.zeros(m)
+                    for k in range(dim):
+                        acc = acc + V[:, k] * h[k]
+                    sigs[:, bidx] |= (acc >= 0).astype(np.int64) << j
+            vid = np.repeat(pdf[id_col].to_numpy(), bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vid,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), m),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    out_t = dict(embeddings.select(F.col(id_col).alias("vec_id")).dtypes)["vec_id"]
+    return embeddings.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        gen, f"vec_id {out_t}, band int, sig long"
+    )
+
+
 def assign_ivf_cells(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -180,27 +287,48 @@ def assign_ivf_cells(
     one fold-expression per centroid — made Catalyst ANALYSIS time grow
     ~quadratically with the codebook (n_cells = √N): 14 s of planning at
     44 cells vs 0.03 s for this form, identical output."""
-    centlit = F.array(
-        *[
-            F.struct(
-                F.lit(int(ci)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("vec"),
+    import numpy as np
+    import pandas as pd
+
+    # r6: Arrow numpy kernel instead of an n_cells-wide interpreted
+    # transform+fold expression per row (guide §4.2). Per-element float64
+    # operation order replays the Catalyst fold exactly (column-order
+    # accumulation; argmax-first == min-cell-index tie-break == the
+    # array_max(struct(s, -cell)) ordering), so assignments are
+    # IDENTICAL — parity test test_assign_ivf_cells_numpy_parity. The
+    # previous expression form (kept in git history) also paid analysis
+    # time ~quadratic in the codebook; the kernel's plan is constant-size.
+    cells = [int(ci) for ci, _ in centroids]
+    C = np.asarray([cvec for _, cvec in centroids], dtype=np.float64)  # (c, d)
+    nc = np.zeros(len(C))
+    for k in range(C.shape[1]):
+        nc = nc + C[:, k] * C[:, k]
+    nc = np.sqrt(nc)
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m, d = V.shape
+            dot = np.zeros((m, len(C)))
+            nv = np.zeros(m)
+            for k in range(d):
+                dot = dot + V[:, k, None] * C[None, :, k]
+                nv = nv + V[:, k] * V[:, k]
+            sims = dot / (np.sqrt(nv)[:, None] * nc[None, :])
+            best = sims.argmax(axis=1)  # first max ⇒ min cell index
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "v": pdf[vec_col],
+                    "cell": np.asarray(cells, dtype=np.int32)[best],
+                }
             )
-            for ci, cvec in centroids
-        ]
-    )
-    sims = F.transform(
-        centlit,
-        lambda s: F.struct(
-            cosine_sim_expr(F.col(vec_col), s["vec"]).alias("s"),
-            (-s["cell"]).alias("ni"),
-        ),
-    )
-    best = F.array_max(sims)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        (-best["ni"]).alias("cell"),
+
+    in_t = dict(embeddings.dtypes)
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        gen, f"vec_id {in_t[id_col]}, v {in_t[vec_col]}, cell int"
     )
 
 
@@ -313,10 +441,12 @@ def ann_topk_ivf(
     probe = sorted(range(len(centroids)), key=lambda i: (-_cos_py(q, centroids[i][1]), i))[
         :n_probe
     ]
-    qlit = F.array(*[F.lit(x) for x in q])
+    # exact rerank inside the probed cells via the numpy cosine kernel
+    # (bit-identical to the cosine_sim_expr fold form)
     return (
-        assigned.filter(F.col("cell").isin(probe))
-        .select("vec_id", cosine_sim_expr(F.col("v"), qlit).alias("cosine"))
+        cosine_scores_numpy(
+            assigned.filter(F.col("cell").isin(probe)), q, id_col="vec_id", vec_col="v"
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -32,6 +32,54 @@ def embed_texts(df: DataFrame, id_col: str, text_col: str = "text", dim: int = D
     vec[i] = |{tokens t : H(t) mod dim == i}| (with multiplicity), then
     vec / ||vec||. Empty-token texts embed to the zero vector (norm guard).
 
+    r6: ONE Arrow ``mapInPandas`` pass — per batch each row is tokenized,
+    md5-bucketed and normalized exactly like :func:`embed_text_py` (the
+    proven driver-side mirror: same token regex, same md5-hex-prefix hash,
+    same index-order norm fold), so values are bit-identical to the
+    expression form, which remains below as :func:`embed_texts_expr` with
+    a parity test. Why: the expression form cost three shuffles (token
+    explode → (id, bucket) agg → map agg) plus a dim-wide interpreted
+    transform per row (HOFs bypass codegen, guide §4.2); the kernel is a
+    single map pass with no exchange — per doc O(tokens + dim), the same
+    asymptotics, and no Python-boundary crossings beyond the one batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = dict(df.dtypes)[id_col]
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, out = [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in re.split(r"[^a-z0-9_]+", (text or "").lower()) if t]
+                if not toks:
+                    # the expression form's explode drops token-less docs
+                    # entirely — replicate (parity over presence, not
+                    # just values)
+                    continue
+                vec = np.zeros(dim)
+                for t in toks:
+                    vec[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim] += 1.0
+                acc = 0.0
+                for x in vec:
+                    acc = acc + x * x
+                n = math.sqrt(acc)
+                ids.append(_id)
+                out.append(vec / n if n > 0 else vec)
+            yield pd.DataFrame({id_col: ids, "embedding": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_t}, embedding array<double>"
+    )
+
+
+def embed_texts_expr(df: DataFrame, id_col: str, text_col: str = "text", dim: int = DEFAULT_DIM) -> DataFrame:
+    """The pure-Catalyst expression form of :func:`embed_texts` (kept as
+    the cross-engine reference implementation + parity-test anchor).
+
     Densify is O(tokens + dim) per doc: tokens aggregate to (bucket →
     count) map entries (two-level hash agg, map-side combinable), then one
     transform does a map lookup per dimension — not a filter-scan of the

@@ -494,3 +494,117 @@ def test_ivf_kmeans_deterministic():
 
     for c in c1:
         assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r6 Arrow-kernel parity: every numpy kernel replays the Catalyst fold
+# order per element, so outputs must be BIT-identical to the expression
+# forms on real embedding data.
+
+EMB_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb001(spark):
+    return spark.read.parquet(EMB_PATH).select("vec_id", "embedding")
+
+
+def test_cosine_numpy_matches_catalyst(spark, emb001):
+    from semstreams_spark.operators.similarity import cosine_scores_numpy, cosine_sim_expr
+
+    q = [float(i % 7) - 3.0 for i in range(64)]
+    qlit = F.array(*[F.lit(x) for x in q])
+    expr = {
+        r["vec_id"]: r["cosine"]
+        for r in emb001.select(
+            "vec_id", cosine_sim_expr(F.col("embedding"), qlit).alias("cosine")
+        ).collect()
+    }
+    kern = {r["vec_id"]: r["cosine"] for r in cosine_scores_numpy(emb001, q).collect()}
+    assert expr == kern  # bit-exact, not approx
+
+
+def test_banded_signatures_numpy_parity(spark, emb001):
+    from semstreams_spark.operators.similarity import (
+        banded_hyperplane_signatures,
+        banded_signatures_numpy,
+    )
+
+    expr = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in emb001.select(
+            "vec_id",
+            F.explode(
+                banded_hyperplane_signatures(F.col("embedding"), 8, 6, 64)
+            ).alias("bs"),
+        )
+        .select("vec_id", "bs.band", "bs.sig")
+        .collect()
+    }
+    kern = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in banded_signatures_numpy(emb001, 8, 6, 64).collect()
+    }
+    assert expr == kern
+
+
+def test_assign_ivf_cells_numpy_parity(spark, emb001):
+    from semstreams_spark.operators.similarity import (
+        assign_ivf_cells,
+        cosine_sim_expr,
+        ivf_sample,
+        train_ivf_centroids,
+    )
+
+    cents = list(enumerate(train_ivf_centroids(ivf_sample(emb001, 256), 16, 5)))
+    # the pre-r6 expression form, inlined as the parity anchor
+    centlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(ci)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("vec"),
+            )
+            for ci, cv in cents
+        ]
+    )
+    sims = F.transform(
+        centlit,
+        lambda s: F.struct(
+            cosine_sim_expr(F.col("embedding"), s["vec"]).alias("s"),
+            (-s["cell"]).alias("ni"),
+        ),
+    )
+    best = F.array_max(sims)
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in emb001.select("vec_id", (-best["ni"]).alias("cell")).collect()
+    }
+    kern = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb001, cents).collect()}
+    assert expr == kern
+
+
+def test_pair_cosines_numpy_parity(spark, emb001):
+    from semstreams_spark.operators.dedup import _pair_cosines_numpy
+    from semstreams_spark.operators.similarity import cosine_sim_expr
+
+    a = emb001.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("v_a"))
+    b = emb001.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("v_b"))
+    joined = a.join(b, F.col("vec_a") + 1 == F.col("vec_b"))
+    expr = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in joined.select(
+            "vec_a", "vec_b", cosine_sim_expr(F.col("v_a"), F.col("v_b")).alias("cosine")
+        ).collect()
+    }
+    kern = {
+        (r["vec_a"], r["vec_b"]): r["cosine"] for r in _pair_cosines_numpy(joined).collect()
+    }
+    assert expr == kern
+
+
+def test_embed_texts_kernel_matches_expr(spark, docs):
+    from semstreams_spark.search.embedder import embed_texts, embed_texts_expr
+
+    kern = {r["doc_id"]: tuple(r["embedding"]) for r in embed_texts(docs, id_col="doc_id", dim=64).collect()}
+    expr = {r["doc_id"]: tuple(r["embedding"]) for r in embed_texts_expr(docs, id_col="doc_id", dim=64).collect()}
+    assert kern == expr
