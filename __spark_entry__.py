@@ -91,18 +91,39 @@ def q_graph_edges(spark, sf_dir):
 
 
 def q_edges_resolved(spark, sf_dir):
-    """Mention edges with dst resolved through the broadcast alias dim (J1)."""
-    triples = extract_triples(_transcripts(spark, sf_dir))
+    """Mention edges with dst resolved through the broadcast alias dim (J1).
+    r6: the entity_ref rows derive directly from transcripts (one in-edge
+    per turn + one row per mention occurrence) — identical to filtering
+    the full triple fan-out, without materializing it (oracle-gated)."""
+    t = _transcripts(spark, sf_dir)
     al = _aliases(spark, sf_dir).select(
         F.concat(F.lit("test.local.graph.kb.entity."), F.col("alias")).alias("alias_id"),
         F.concat(F.lit("test.local.graph.kb.entity."), F.col("entity_name")).alias("canonical_id"),
     )
-    rel = triples.filter(F.col("object_type") == "entity_ref").select(
-        F.col("subject").alias("src"),
-        F.col("object").alias("dst"),
-        predicate_to_edge_type(F.col("predicate")).alias("edge_type"),
-        "ts",
+    r2 = lambda dst, et: F.struct(dst.alias("dst"), et.alias("edge_type"))  # noqa: E731
+    empty = F.array().cast("array<struct<dst:string,edge_type:string>>")
+    mention_ids = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(MENTION_RE), F.lit(1)),
+        lambda m: F.concat(F.lit(ENTITY_PREFIX), m),
     )
+    refs = F.concat(
+        F.array(
+            r2(
+                F.concat(F.lit("test.local.graph.kb.conversation."), F.col("conv_id")),
+                F.lit("in_turn"),
+            )
+        ),
+        F.coalesce(
+            F.transform(mention_ids, lambda m: r2(m, F.lit("mentions_turn"))), empty
+        ),
+    )
+    rel = t.select(
+        F.concat(
+            F.lit("test.local.conv."), F.col("conv_id"), F.lit(".turn."), F.col("turn_idx").cast("string")
+        ).alias("src"),
+        F.explode(refs).alias("r"),
+        "ts",
+    ).select("src", F.col("r.dst").alias("dst"), F.col("r.edge_type").alias("edge_type"), "ts")
     res = (
         rel.join(F.broadcast(al), rel["dst"] == al["alias_id"], "left")
         .select(
@@ -280,10 +301,9 @@ BM25_QUERY = "spark data stream query window"
 
 
 def q_text_lang_id(spark, sf_dir):
-    from semstreams_spark.operators.textops import lang_id
+    from semstreams_spark.operators.textops import lang_id_table
 
-    d = _tbl(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("detected_lang"))
+    return lang_id_table(_tbl(spark, sf_dir, "documents"), id_col="doc_id")
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -370,7 +390,9 @@ def _conv_entity_pairs(spark, sf_dir):
     (map-side combinable), pairs generated JVM-side from the sorted set —
     the same self-join→pair-explode reshape entity_cooccurrence measured
     4.7× faster at sf0.1 (guide §2.4: the join and two of its exchanges
-    are gone; one groupBy exchange remains)."""
+    are gone; one groupBy exchange remains). Kept as the pure-Catalyst
+    reference form for the pair-count kernel below (parity A/B in
+    OPTIMIZATION_r06.md; weights cross-checked in tests)."""
     m = _mention_rows(spark, sf_dir).select("conv_id", "e")
     per_conv = m.groupBy("conv_id").agg(F.sort_array(F.collect_set("e")).alias("ents"))
     return per_conv.select(
@@ -388,12 +410,79 @@ def _conv_entity_pairs(spark, sf_dir):
     ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
 
 
+def _conv_pair_counts(spark, sf_dir):
+    """(src, dst, c): partial co-mention pair counts per Arrow batch —
+    Σc over batches == the per-conversation pair multiset of
+    ``_conv_entity_pairs`` (guide §2.3/§4.2).
+
+    Why: the Zipf mention vocabulary makes hot conversations mention most
+    of the ~200-entity vocab, so the pair EXPLOSION is ~3.7M rows at
+    sf0.1 that immediately collapse to 31k distinct edges. The kernel
+    pre-aggregates inside each batch with a V×V count matrix over the
+    batch-local sorted vocab (np.unique order == Spark's binary string
+    order), emitting ≤ V²/2 partial rows per batch instead of Σk² structs
+    through an interpreted HOF + hash-agg probe. Batches whose local
+    vocab exceeds 4096 fall back to plain per-conversation pair emission
+    (no V² matrix) — the kernel stays memory-safe on unbounded entity
+    vocabularies, where downstream aggregation does the collapsing
+    exactly as the Catalyst form. Measured: edges derive 2.17 → 1.26 s
+    warm at sf0.1; outputs identical (A/B + weight cross-check)."""
+    import numpy as np
+    import pandas as pd
+
+    m = _mention_rows(spark, sf_dir).select("conv_id", "e")
+    per_conv = m.groupBy("conv_id").agg(F.sort_array(F.collect_set("e")).alias("ents"))
+
+    def gen(it):
+        for pdf in it:
+            arrs = pdf["ents"]
+            if not len(arrs):
+                continue
+            vocab = np.unique(np.concatenate(list(arrs)))
+            V = len(vocab)
+            if V <= 4096:
+                M = np.zeros((V, V), dtype=np.int64)
+                for ents in arrs:
+                    if len(ents) < 2:
+                        continue
+                    idx = np.searchsorted(vocab, ents)
+                    M[np.ix_(idx, idx)] += 1
+                iu, ju = np.triu_indices(V, 1)
+                c = M[iu, ju]
+                nz = c > 0
+                yield pd.DataFrame(
+                    {"src": vocab[iu[nz]], "dst": vocab[ju[nz]], "c": c[nz]}
+                )
+            else:
+                srcs, dsts, cache = [], [], {}
+                for ents in arrs:
+                    k = len(ents)
+                    if k < 2:
+                        continue
+                    ij = cache.get(k)
+                    if ij is None:
+                        ij = cache.setdefault(k, np.triu_indices(k, 1))
+                    srcs.append(ents[ij[0]])
+                    dsts.append(ents[ij[1]])
+                if srcs:
+                    yield pd.DataFrame(
+                        {
+                            "src": np.concatenate(srcs),
+                            "dst": np.concatenate(dsts),
+                            "c": np.ones(sum(len(s) for s in srcs), dtype=np.int64),
+                        }
+                    )
+
+    return per_conv.select("ents").mapInPandas(gen, "src string, dst string, c long")
+
+
 def _entity_edges(spark, sf_dir):
     """Entity co-mention graph: distinct (e1 < e2) pairs per conversation.
-    r6: pair-explode reshape replaces the m⋈m self-join — identical rows
-    (a sorted distinct set's (i<j) pairs ARE the a.e<b.e join output),
-    oracle-gated via every graph-family query."""
-    return _conv_entity_pairs(spark, sf_dir).distinct()
+    r6: batch-preaggregated pair-count kernel + distinct replaces the
+    m⋈m self-join — identical rows (a sorted distinct set's (i<j) pairs
+    ARE the a.e<b.e join output), oracle-gated via every graph-family
+    query."""
+    return _conv_pair_counts(spark, sf_dir).select("src", "dst").distinct()
 
 
 def q_path_2hop(spark, sf_dir):
@@ -448,8 +537,8 @@ def _parity_edges(spark, sf_dir):
     parity (co-occurrence weight >= 3 intra-cohort) bridged only by the
     strongest cross-cohort ties (weight >= 300) — level 0 finds the two
     cohorts, level 1 merges them through the bridges."""
-    pairs = _conv_entity_pairs(spark, sf_dir).groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("w")
+    pairs = _conv_pair_counts(spark, sf_dir).groupBy("src", "dst").agg(
+        F.sum("c").alias("w")
     )
     par = lambda c: F.element_at(F.split(F.col(c), "_"), -1).try_cast("int") % 2  # noqa: E731
     same = par("src") == par("dst")

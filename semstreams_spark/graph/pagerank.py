@@ -67,6 +67,30 @@ def pagerank_exact(
     owned = not (lvl.useMemory or lvl.useDisk)
     if owned:
         edges = edges.cache()
+    from .local_solve import local_max_edges as _lme, pagerank_local
+
+    # r6: the dispatch count comes first and the LOCAL path never builds
+    # the distinct node table — the single-task kernel derives its own
+    # node set, so the nodes distinct+cache+count actions (~1 s of fixed
+    # cost on a small graph) only run on the distributed path that needs
+    # n for the (1-d)/n base term (guide §1.2: don't compute things you
+    # throw away).
+    n_edges = edges.count()
+    if n_edges == 0:
+        if owned:
+            edges.unpersist()
+        # empty result with the right column types, no further actions
+        return edges.select(F.col("src").alias("entity")).limit(0).withColumn(
+            "rank", F.lit(0).cast("long")
+        )
+    if n_edges <= _lme(local_max_edges):
+        # eager so the cached input can be released before returning
+        out = pagerank_local(edges, max_iter, scale, damping_num, damping_den).localCheckpoint(
+            eager=True
+        )
+        if owned:
+            edges.unpersist()
+        return out
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
@@ -74,22 +98,6 @@ def pagerank_exact(
         .cache()
     )
     n = nodes.count()
-    if n == 0:
-        if owned:
-            edges.unpersist()
-        nodes.unpersist()
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
-    from .local_solve import local_max_edges as _lme, pagerank_local
-
-    if edges.count() <= _lme(local_max_edges):
-        # eager so the cached inputs can be released before returning
-        out = pagerank_local(edges, max_iter, scale, damping_num, damping_den).localCheckpoint(
-            eager=True
-        )
-        nodes.unpersist()
-        if owned:
-            edges.unpersist()
-        return out
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
     dangling_nodes = nodes.join(out_deg, nodes["entity"] == out_deg["src"], "left_anti").cache()

@@ -69,6 +69,11 @@ def bounded_traversal(
                     max_nodes - n_visited
                 )
             nxt = nxt.localCheckpoint(eager=True)  # cut lineage per hop
+            if d == max_depth:
+                # r6: the final hop's count only fed the loop-continuation
+                # test — union it (possibly empty) and stop, one action less
+                visited = visited.unionByName(nxt)
+                break
             n_new = nxt.count()  # counts the checkpointed blocks, no recompute
             if n_new == 0:
                 break
@@ -140,6 +145,7 @@ def traversal_paths(
     levels = [frontier]
     truncated = False
     n_frontier = 1  # tracked incrementally — no re-count of a frontier
+    n_total = 1  # running path count across levels (replaces out.count())
     with iteration_shuffle_width(spark, n_edges):
         for d in range(1, max_depth + 1):
             if max_time_s is not None and time.monotonic() - t0 >= max_time_s:
@@ -164,16 +170,17 @@ def traversal_paths(
             n_frontier = nxt.count()  # counts checkpointed blocks, no recompute
             if n_frontier == 0:
                 break
+            n_total += n_frontier
             levels.append(nxt)
             frontier = nxt
 
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    if max_paths is not None:
-        total = out.count()
-        if total > max_paths:
-            truncated = True
-            out = out.orderBy(F.desc("score"), F.asc("path")).limit(max_paths)
+    # r6: the level counts already sum to the total path count — the
+    # extra out.count() action over the unioned levels is redundant
+    if max_paths is not None and n_total > max_paths:
+        truncated = True
+        out = out.orderBy(F.desc("score"), F.asc("path")).limit(max_paths)
     e.unpersist()  # levels are checkpointed; lineage no longer needs e
     return out.withColumn("truncated", F.lit(truncated))

@@ -41,7 +41,45 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """(doc_id, shingle) distinct pairs.
+
+    r6: ONE Arrow ``mapInPandas`` pass — tokenize + n-gram + per-doc set
+    in Python per batch. The expression form (kept as
+    :func:`shingle_sets_expr`, parity test
+    test_shingle_sets_kernel_matches_expr) paid two interpreted zip_with
+    passes per doc (HOFs bypass codegen) plus a global DISTINCT exchange;
+    since (doc_id, shingle) dedup is per-doc by construction, the set is
+    computable inside the scan task with NO shuffle. Same tokens (same
+    regex/lowercase), same ``< n``-token fallback shingle, same rows."""
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, outs = [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _TOKEN_SPLIT.split((text or "").lower()) if t]
+                if len(toks) < n:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                ids.extend([_id] * len(sh))
+                outs.extend(sh)
+            yield pd.DataFrame({"doc_id": ids, "shingle": outs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"doc_id {id_t}, shingle string")
+
+
+import re as _re  # noqa: E402
+
+_TOKEN_SPLIT = _re.compile(r"[^a-z0-9_]+")
+
+
+def shingle_sets_expr(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Pure-Catalyst form of :func:`shingle_sets` (parity anchor)."""
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
         .distinct()
@@ -201,7 +239,60 @@ def minhash_dedup(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, via 64 sign-sum bits over token hashes.
+    """64-bit SimHash per document: per-bit +1/-1 weighted votes over
+    distinct-token hashes, sign-aggregated into a 60-bit fingerprint.
+
+    r6: ONE Arrow ``mapInPandas`` pass. The expression form (kept as
+    :func:`simhash_expr`, parity-tested) paid a token explode + a
+    (doc, token) count aggregation + SIXTY sum(when) aggregate columns —
+    the single most expensive plan in the registry (10.5 s at sf0.1 for
+    5k docs). Per batch the kernel tokenizes, counts (collections.Counter
+    == the groupBy count), hashes each distinct token with the identical
+    md5-hex-prefix portable hash, and computes the vote signs with an
+    integer bit-matrix — integer sums are order-free, so the fingerprint
+    is bit-identical (test_simhash_kernel_matches_expr)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+
+    def gen(it):
+        from collections import Counter
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _TOKEN_SPLIT.split((text or "").lower()) if t]
+                if not toks:
+                    # the explode drops token-less docs in the expression
+                    # form — replicate presence semantics
+                    continue
+                cnt = Counter(toks)
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in cnt.keys()
+                    ),
+                    dtype=np.int64,
+                    count=len(cnt),
+                )
+                w = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+                bits = (h[:, None] >> np.arange(60)) & 1  # (k, 60)
+                votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+                fp = int(((votes > 0).astype(np.int64) << np.arange(60)).sum())
+                ids.append(_id)
+                fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "simhash": np.array(fps, dtype=np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"doc_id {id_t}, simhash long")
+
+
+def simhash_expr(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst form of :func:`simhash` (parity anchor).
 
     Implemented as: token → portable hash → per-bit +1/-1 votes → sign.
     The bit loop is an unrolled sum over F.when columns (pure codegen).

@@ -95,6 +95,45 @@ def lang_id(col: Column) -> Column:
     return F.when(best_score >= 2, pick).otherwise(F.lit("und"))
 
 
+def lang_id_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, detected_lang): the stopword-voting language ID of
+    :func:`lang_id` as an Arrow ``mapInPandas`` pass — the expression form
+    runs one interpreted filter/array_contains HOF per language per row
+    (HOFs bypass codegen); the kernel counts stopword hits per batch in
+    Python sets. Same tokens, same ≥2-hit threshold, same smallest-code
+    tie-break (parity test test_lang_id_table_matches_expr)."""
+    import re as _re
+
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+    split = _re.compile(r"[^a-z0-9_]+")
+    langs = sorted(LANG_STOPWORDS.items())
+    sets = [(lang, frozenset(words)) for lang, words in langs]
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks = [t for t in split.split((text or "").lower()) if t]
+                best_lang, best = "und", 0
+                for lang, sw in sets:
+                    s = 0
+                    for t in toks:
+                        if t in sw:
+                            s += 1
+                    if s > best:  # first max in sorted order == min code
+                        best, best_lang = s, lang
+                out.append(best_lang if best >= 2 else "und")
+            yield pd.DataFrame({id_col: pdf[id_col], "detected_lang": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_t}, detected_lang string"
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: token count, char count, mean token
     length, punctuation ratio, stopword ratio, uniq-token ratio."""

@@ -608,3 +608,58 @@ def test_embed_texts_kernel_matches_expr(spark, docs):
     kern = {r["doc_id"]: tuple(r["embedding"]) for r in embed_texts(docs, id_col="doc_id", dim=64).collect()}
     expr = {r["doc_id"]: tuple(r["embedding"]) for r in embed_texts_expr(docs, id_col="doc_id", dim=64).collect()}
     assert kern == expr
+
+
+def test_shingle_sets_kernel_matches_expr(spark, docs):
+    from semstreams_spark.operators.dedup import shingle_sets, shingle_sets_expr
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (docs, real):
+        kern = set(map(tuple, shingle_sets(df, n=3).collect()))
+        expr = set(map(tuple, shingle_sets_expr(df, n=3).collect()))
+        assert kern == expr
+
+
+def test_conv_pair_counts_matches_catalyst_pairs(spark):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    wk = {
+        (r["src"], r["dst"]): r["w"]
+        for r in entry._conv_pair_counts(spark, sf)
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("w"))
+        .collect()
+    }
+    we = {
+        (r["src"], r["dst"]): r["w"]
+        for r in entry._conv_entity_pairs(spark, sf)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    }
+    assert wk == we
+
+
+def test_simhash_kernel_matches_expr(spark, docs):
+    from semstreams_spark.operators.dedup import simhash, simhash_expr
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (docs, real):
+        kern = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        expr = {r["doc_id"]: r["simhash"] for r in simhash_expr(df).collect()}
+        assert kern == expr
+
+
+def test_lang_id_table_matches_expr(spark):
+    from pyspark.sql import functions as F
+    from semstreams_spark.operators.textops import lang_id, lang_id_table
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kern = {r["doc_id"]: r["detected_lang"] for r in lang_id_table(real, id_col="doc_id").collect()}
+    expr = {
+        r["doc_id"]: r["detected_lang"]
+        for r in real.select("doc_id", lang_id(F.col("text")).alias("detected_lang")).collect()
+    }
+    assert kern == expr
