@@ -78,6 +78,8 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
         raise NotImplementedError("real decode path: swap _fake_decode for PIL")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _z
+
         from .jpeg import decode_jpeg_pixels
 
         for pdf in batches:
@@ -92,7 +94,11 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
                 # but unsupported payload (progressive JPEG, interlaced/
                 # 16-bit PNG, truncated bytes) must NOT fail the whole
                 # Spark job — per the decoders' documented contract the
-                # ValueError signals "fall back / quarantine the row"
+                # ValueError signals "fall back / quarantine the row";
+                # zlib.error covers a signature-valid PNG whose deflate
+                # stream is corrupt (zlib.decompress raises its own class,
+                # not ValueError — r5 ADVICE fix: the decoder contract is
+                # "never fail the whole job")
                 px = None
                 try:
                     if raw[:8] == _PNG_SIG:
@@ -101,7 +107,7 @@ def extract_image_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
                         px = decode_jpeg_pixels(raw).astype(np.float64)
                         if px.shape[2] == 1:
                             px = np.repeat(px, 3, axis=2)
-                except ValueError:
+                except (ValueError, _z.error):
                     px = None
                 if px is not None:
                     h, w = px.shape[0], px.shape[1]

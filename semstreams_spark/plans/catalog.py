@@ -37,6 +37,8 @@ the data is never touched.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 _LAKEHOUSE_PROBES = {
@@ -101,9 +103,15 @@ def bind_published_tables(
                 .where("col_name = 'Location'")
                 .collect()
             )
-            if current and current[0]["data_type"].rstrip("/").endswith(
-                location.rstrip("/").lstrip("/")
-            ):
+            def _norm(p: str) -> str:
+                # strip URI scheme, normalize, drop trailing slash — a
+                # SUFFIX match would treat file:/backup/tmp/pub/x as
+                # already-bound /tmp/pub/x (r5 ADVICE fix)
+                if ":" in p.split("/", 1)[0]:
+                    p = p.split(":", 1)[1]
+                return os.path.normpath("/" + p.lstrip("/"))
+
+            if current and _norm(current[0]["data_type"]) == _norm(location):
                 pass  # same location — leave the definition alone
             else:
                 spark.sql(f"DROP TABLE {qname}")

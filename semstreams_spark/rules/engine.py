@@ -277,17 +277,12 @@ def apply_cooldown_lag(events: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
-def subject_pattern_filter(col: Column, pattern: str) -> Column:
-    """R3 subject wildcard matching (``processor/rule/message_handler.go:
-    114-133``): NATS-style patterns over dot-separated subjects — ``>``
-    alone matches everything, a trailing ``.>`` matches one-or-more
-    further tokens, ``*`` matches exactly one token, anything else is an
-    exact match. (The reference implements the exact/``>``-forms and
-    notes "in production, use proper NATS subject matching" — this is
-    that proper form.) Compiled to ONE anchored rlike — pure codegen.
-    """
+def subject_pattern_regex(pattern: str) -> str | None:
+    """Anchored regex for a NATS-style subject pattern; None for ``>``
+    (match-all). Shared by the Column filter below and the SQL compiler
+    (``rules.sql_compile``) so the two engines cannot drift."""
     if pattern == ">":
-        return F.lit(True)
+        return None
     parts = pattern.split(".")
     rx_parts: list[str] = []
     for i, p in enumerate(parts):
@@ -299,7 +294,22 @@ def subject_pattern_filter(col: Column, pattern: str) -> Column:
             rx_parts.append(r"[^.]+")
         else:
             rx_parts.append(re.escape(p))
-    return col.rlike("^" + r"\.".join(rx_parts) + "$")
+    return "^" + r"\.".join(rx_parts) + "$"
+
+
+def subject_pattern_filter(col: Column, pattern: str) -> Column:
+    """R3 subject wildcard matching (``processor/rule/message_handler.go:
+    114-133``): NATS-style patterns over dot-separated subjects — ``>``
+    alone matches everything, a trailing ``.>`` matches one-or-more
+    further tokens, ``*`` matches exactly one token, anything else is an
+    exact match. (The reference implements the exact/``>``-forms and
+    notes "in production, use proper NATS subject matching" — this is
+    that proper form.) Compiled to ONE anchored rlike — pure codegen.
+    """
+    rx = subject_pattern_regex(pattern)
+    if rx is None:
+        return F.lit(True)
+    return col.rlike(rx)
 
 
 # Keep in sync with oracles.sql_rule_events

@@ -27,11 +27,28 @@ function name differs (``rlike`` vs ``regexp_matches``) — pass
 
 from __future__ import annotations
 
-from .engine import Condition, Rule
+from .engine import Condition, Rule, subject_pattern_regex
 
 
 def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _subject_pred(r: Rule, dialect: str) -> str:
+    """R3 subject_pattern as a WHERE conjunct (r5 ADVICE fix: the
+    compiler silently ignored it, over-matching vs the engine). Uses the
+    SAME regex builder as engine.subject_pattern_filter so the two
+    implementations cannot drift; '>' (match-all) compiles to nothing."""
+    if not r.subject_pattern:
+        return ""
+    rx = subject_pattern_regex(r.subject_pattern)
+    if rx is None:
+        return ""
+    if dialect == "duckdb":
+        return f" AND regexp_matches(subject, {_q(rx)})"
+    # Spark SQL string literals are escape-processed — double the
+    # backslashes so the regex survives parsing
+    return f" AND (subject RLIKE {_q(rx.replace(chr(92), chr(92) * 2))})"
 
 
 def condition_sql(c: Condition, dialect: str = "duckdb", obj: str = "object") -> str:
@@ -67,10 +84,12 @@ def rule_sql(r: Rule, table: str = "states", dialect: str = "duckdb") -> str:
     (subject, predicate, object, ts) table — same join/union/guard
     shape as ``engine.evaluate_rules`` so multiplicity matches too."""
 
+    pat = _subject_pred(r, dialect)
+
     def cond_select(c: Condition) -> str:
         return (
             f"SELECT subject AS entity_id, ts FROM {table} "
-            f"WHERE predicate = {_q(c.field)} AND {condition_sql(c, dialect)}"
+            f"WHERE predicate = {_q(c.field)} AND {condition_sql(c, dialect)}{pat}"
         )
 
     rid = _q(r.id)
@@ -93,7 +112,7 @@ def rule_sql(r: Rule, table: str = "states", dialect: str = "duckdb") -> str:
     if req:
         in_list = ", ".join(_q(f) for f in req)
         guard = (
-            f"SELECT subject FROM {table} WHERE predicate IN ({in_list}) "
+            f"SELECT subject FROM {table} WHERE predicate IN ({in_list}){pat} "
             f"GROUP BY subject HAVING COUNT(DISTINCT predicate) = {len(req)}"
         )
         body = f"SELECT * FROM ({body}) WHERE entity_id IN ({guard})"

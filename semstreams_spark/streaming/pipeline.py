@@ -109,7 +109,14 @@ def build_ingest_stream(
     # off — the A/B knob is SPARK_GRAFT_PRECOMPACT=1
     if precompact is None:
         precompact = os.environ.get("SPARK_GRAFT_PRECOMPACT", "0") == "1"
-    deltas = conversation_graph_deltas(transcripts, watermark=watermark, precompact=precompact)
+    # pin the stateful API to the checkpoint (restart-safe across
+    # protobuf availability changes — see state_merge.pin_state_engine)
+    from .state_merge import pin_state_engine
+
+    engine = pin_state_engine(checkpoint_dir)
+    deltas = conversation_graph_deltas(
+        transcripts, watermark=watermark, precompact=precompact, engine=engine
+    )
     sink = ExactlyOnceParquetSink(os.path.join(out_dir, "graph_deltas"), commit_mode=commit_mode)
 
     if fail_at_batch is not None:

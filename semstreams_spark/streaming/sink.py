@@ -78,6 +78,8 @@ class ExactlyOnceParquetSink:
         self._centries: dict[int, dict] | None = None
         self._ckpt_upto = -1
         self._n_since_ckpt = 0
+        self._n_segments = 0
+        self._legacy_ckpt = False
         self.ledger_file_reads = 0
 
     # -- ledger -------------------------------------------------------------
@@ -89,6 +91,9 @@ class ExactlyOnceParquetSink:
 
     def _ckpt_path(self) -> str:
         return os.path.join(self.ledger_dir, "_checkpoint.json")
+
+    def _ckpt_seg_path(self, i: int) -> str:
+        return os.path.join(self.ledger_dir, f"_checkpoint.seg.{i}.json")
 
     def committed(self, batch_id: int) -> bool:
         return os.path.exists(self._ledger_path(batch_id))
@@ -141,19 +146,32 @@ class ExactlyOnceParquetSink:
         }
 
     def _compact_entries(self) -> dict[int, dict]:
-        """The compact ledger index, loaded once per sink object: latest
-        checkpoint (one file) + per-batch suffix (< compact_every files in
-        steady state), then maintained in memory by the committer."""
+        """The compact ledger index, loaded once per sink object: the
+        O(1) checkpoint pointer + its immutable suffix segments (restart
+        cost: one file per compact_every committed batches) + the
+        per-batch suffix (< compact_every files in steady state), then
+        maintained in memory by the committer."""
         if self._centries is not None:
             return self._centries
         entries: dict[int, dict] = {}
         upto = -1
+        n_segments = 0
+        legacy = False
         if os.path.exists(self._ckpt_path()):
             self.ledger_file_reads += 1
             with open(self._ckpt_path()) as fh:
                 ck = json.load(fh)
             upto = ck["upto"]
-            entries = {e["batch_id"]: e for e in ck["entries"]}
+            if "entries" in ck:  # pre-r6 monolithic checkpoint
+                entries = {e["batch_id"]: e for e in ck["entries"]}
+                legacy = True
+            else:
+                n_segments = ck["n_segments"]
+                for i in range(n_segments):
+                    self.ledger_file_reads += 1
+                    with open(self._ckpt_seg_path(i)) as fh:
+                        for e in json.load(fh):
+                            entries[e["batch_id"]] = e
         n_suffix = 0
         for f in os.listdir(self.ledger_dir):
             if not f.endswith(".json") or f.startswith("_"):
@@ -168,23 +186,46 @@ class ExactlyOnceParquetSink:
         self._centries = entries
         self._ckpt_upto = upto
         self._n_since_ckpt = n_suffix
+        self._n_segments = n_segments
+        self._legacy_ckpt = legacy
         return entries
 
     def _record_commit(self, entry: dict) -> None:
-        """Maintain the compact index after a commit; write the checkpoint
-        every compact_every commits (atomic tmp+replace — readers see the
-        old or new checkpoint, never a torn one)."""
+        """Maintain the compact index after a commit; checkpoint every
+        compact_every commits. r6 (round-5 verdict item #2): the
+        checkpoint is SEGMENTED — each flush writes ONE immutable
+        ``_checkpoint.seg.<k>.json`` holding only the entries committed
+        since the previous flush, plus an O(1) pointer
+        ``{"upto", "n_segments"}`` — so bytes written per commit window
+        are independent of total stream age (the old monolith rewrote
+        every entry ever, ~260k-entry JSON every ~3 minutes after a month
+        at one batch/10 s). A legacy monolithic checkpoint is migrated
+        once into segment 0. All writes are atomic tmp+replace; a crash
+        between segment and pointer just rewrites the same segment."""
         entries = self._compact_entries()
         entries[entry["batch_id"]] = self._compact_entry(entry)
         self._n_since_ckpt += 1
         if self._n_since_ckpt >= self.compact_every:
+            if self._legacy_ckpt:
+                # one-time migration: the legacy full list becomes seg 0
+                seg = sorted(
+                    (e for e in entries.values()), key=lambda e: e["batch_id"]
+                )
+            else:
+                seg = sorted(
+                    (e for e in entries.values() if e["batch_id"] > self._ckpt_upto),
+                    key=lambda e: e["batch_id"],
+                )
+            stmp = self._ckpt_seg_path(self._n_segments) + ".tmp"
+            with open(stmp, "w") as fh:
+                json.dump(seg, fh)
+            os.replace(stmp, self._ckpt_seg_path(self._n_segments))
+            self._n_segments += 1
+            self._legacy_ckpt = False
             upto = max(entries)
             tmp = self._ckpt_path() + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(
-                    {"upto": upto, "entries": sorted(entries.values(), key=lambda e: e["batch_id"])},
-                    fh,
-                )
+                json.dump({"upto": upto, "n_segments": self._n_segments}, fh)
             os.replace(tmp, self._ckpt_path())
             self._ckpt_upto = upto
             self._n_since_ckpt = 0

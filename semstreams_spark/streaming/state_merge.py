@@ -338,6 +338,52 @@ def resolve_state_engine(requested: str | None = None) -> str:
     return "tws" if tws_supported() else "legacy"
 
 
+def pin_state_engine(checkpoint_dir: str | None, requested: str | None = None) -> str:
+    """Resolve the stateful API and PIN it next to the checkpoint.
+
+    A restart of an existing query must keep the engine recorded at first
+    start: if protobuf appears later (image upgrade), auto-selection
+    would silently switch applyInPandasWithState →
+    transformWithStateInPandas and Spark rejects checkpoint recovery on a
+    stateful-operator mismatch (r5 ADVICE). So:
+
+    - fresh checkpoint → resolve (env/auto), write ``_state_engine``;
+    - marker present → reuse it; an EXPLICIT conflicting request raises
+      (manual intervention, not silent corruption);
+    - pre-pinning checkpoint without a marker (offsets/ exists) → default
+      to "legacy" under auto (the engine every pre-marker checkpoint in
+      this repo ran), honoring an explicit request as the operator's
+      statement of what the checkpoint contains.
+    """
+    import os
+
+    req = requested or os.environ.get("SPARK_GRAFT_STATE_ENGINE", "auto")
+    if checkpoint_dir is None:
+        return resolve_state_engine(requested)
+    marker = os.path.join(checkpoint_dir, "_state_engine")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            pinned = fh.read().strip()
+        if req in ("tws", "legacy") and req != pinned:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} was started with state engine "
+                f"{pinned!r} but {req!r} was requested — restart from a fresh "
+                "checkpoint to switch engines"
+            )
+        # re-validate availability (raises if tws pinned but protobuf gone)
+        return resolve_state_engine(pinned)
+    if os.path.isdir(os.path.join(checkpoint_dir, "offsets")) and req == "auto":
+        engine = "legacy"
+    else:
+        engine = resolve_state_engine(requested)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(engine)
+    os.replace(tmp, marker)
+    return engine
+
+
 def accepted_turns(
     transcripts: DataFrame,
     watermark: str = "10 minutes",
@@ -408,7 +454,10 @@ def _turn_triples_array():
 
 
 def conversation_graph_deltas(
-    transcripts: DataFrame, watermark: str = "10 minutes", precompact: bool = False
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+    precompact: bool = False,
+    engine: str | None = None,
 ) -> DataFrame:
     """Full streaming transform: transcript stream → graph-delta stream.
 
@@ -417,7 +466,9 @@ def conversation_graph_deltas(
     note AQE does not re-plan stateful exchanges — the shuffle-partition
     count fixed at first checkpoint is the scale lever.
     """
-    acc = accepted_turns(transcripts, watermark=watermark, precompact=precompact)
+    acc = accepted_turns(
+        transcripts, watermark=watermark, precompact=precompact, engine=engine
+    )
     subj = F.when(
         F.col("kind") == "session_end",
         F.concat(F.lit("test.local.graph.kb.conversation."), F.col("conv_id")),

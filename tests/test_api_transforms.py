@@ -464,3 +464,91 @@ def test_jpeg_subsampling_and_restart_intervals(spark):
     b1[i + 1] = 0xD7 if b1[i + 1] != 0xD7 else 0xD6
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(b1))
+
+
+def test_image_features_quarantine_corrupt_deflate(spark):
+    """A signature-valid PNG whose IDAT deflate stream is corrupt raises
+    zlib.error (not ValueError) from zlib.decompress — the quarantine
+    guard must catch it and fall back instead of failing the Spark job
+    (r5 ADVICE fix)."""
+    import struct
+    import zlib
+
+    from semstreams_spark.operators.multimodal import extract_image_features
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    bad = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x00NOT-DEFLATE\xff") + chunk(b"IEND", b"")
+    media = spark.createDataFrame(
+        [(0, "image", bad, {"width": "8", "height": "8"})],
+        "media_id long, kind string, media binary, meta map<string,string>",
+    )
+    rows = extract_image_features(media).collect()  # must NOT raise
+    assert len(rows) == 1  # quarantined to the deterministic fallback
+
+
+def test_pin_state_engine_marker(tmp_path):
+    import os
+
+    import pytest
+
+    from semstreams_spark.streaming.state_merge import pin_state_engine
+
+    ck = str(tmp_path / "ck")
+    eng = pin_state_engine(ck)
+    assert eng == "legacy"  # this image has no protobuf
+    assert (tmp_path / "ck" / "_state_engine").read_text() == "legacy"
+    assert pin_state_engine(ck) == "legacy"  # restart reuses the pin
+    with pytest.raises(RuntimeError):
+        pin_state_engine(ck, "tws")  # explicit conflicting request is loud
+    # pre-marker checkpoint (offsets/ exists): auto defaults to legacy
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(os.path.join(ck2, "offsets"))
+    assert pin_state_engine(ck2) == "legacy"
+    assert (tmp_path / "ck2" / "_state_engine").read_text() == "legacy"
+
+
+def test_rule_sql_compiles_subject_pattern(spark):
+    """r5 ADVICE fix: rule_sql must honor Rule.subject_pattern — engine
+    and compiled SQL agree on both dialects, including the required-field
+    guard scope."""
+    import duckdb
+    import pandas as pd
+
+    from semstreams_spark.rules.engine import Condition, Rule, evaluate_rules
+    from semstreams_spark.rules.sql_compile import rule_sql
+
+    rows = [
+        ("app.user.1", "kind", "vip", "2025-01-01 00:00:00"),
+        ("app.user.2", "kind", "vip", "2025-01-01 00:01:00"),
+        ("web.user.3", "kind", "vip", "2025-01-01 00:02:00"),
+        ("app.user.1", "score", "10", "2025-01-01 00:03:00"),
+        ("web.user.3", "score", "99", "2025-01-01 00:04:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["subject", "predicate", "object", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    states = spark.createDataFrame(pdf)
+    for rule in (
+        Rule(id="r1", conditions=(Condition("kind", "eq", "vip"),), subject_pattern="app.user.*"),
+        Rule(
+            id="r2",
+            logic="or",
+            conditions=(Condition("kind", "eq", "vip"), Condition("score", "gt", "5")),
+            subject_pattern="app.>",
+        ),
+    ):
+        eng = {tuple(r) for r in evaluate_rules(states, [rule]).collect()}
+        states.createOrReplaceTempView("states_sp")
+        sp = {tuple(r) for r in spark.sql(rule_sql(rule, table="states_sp", dialect="spark")).collect()}
+        con = duckdb.connect()
+        con.register("states", pdf)
+        dk = {(r[0], r[1], pd.Timestamp(r[2])) for r in con.execute(rule_sql(rule, table="states")).fetchall()}
+        assert eng == sp == dk, rule.id

@@ -561,14 +561,36 @@ def test_sink_ledger_metadata_reads_are_bounded(spark, tmp_path):
     assert [os.path.basename(d) for d in dirs] == ["batch=29"]
     assert sink.ledger_file_reads == r0
 
-    # restart: a fresh sink loads ONE checkpoint + the <compact_every
-    # suffix — bounded regardless of the 30-batch (or 30k-batch) history
+    # restart: a fresh sink loads the O(1) pointer + one immutable
+    # segment per compact_every committed batches + the <compact_every
+    # per-batch suffix — never the per-batch ledgers of the whole history
     sink2 = ExactlyOnceParquetSink(str(tmp_path / "t"), compact_every=4)
     assert sink2.batch_dirs_since(cutoff) == dirs
-    assert sink2.ledger_file_reads <= 1 + 4
+    assert sink2.ledger_file_reads <= 1 + (30 // 4) + 4
     assert sorted(sink2._compact_entries()) == list(range(30))
     # read() serves from the same bounded index and sees every batch
     assert sink2.read(spark).count() == 30
+
+    # r6 (round-5 verdict #2): checkpoint bytes WRITTEN per commit window
+    # are independent of stream age — each flush writes one immutable
+    # segment of ≤ compact_every entries plus a constant-size pointer,
+    # never a monolith of every entry ever
+    import json as _json
+
+    ledger_dir = os.path.join(str(tmp_path / "t"), "_ledger")
+    segs = sorted(f for f in os.listdir(ledger_dir) if f.startswith("_checkpoint.seg."))
+    assert len(segs) >= 30 // 4 - 1
+    seen = []
+    for s in segs:
+        with open(os.path.join(ledger_dir, s)) as fh:
+            entries = _json.load(fh)
+        assert len(entries) <= 4  # bounded bytes per flush
+        seen.extend(e["batch_id"] for e in entries)
+    # segments are disjoint and cover exactly the checkpointed prefix
+    with open(os.path.join(ledger_dir, "_checkpoint.json")) as fh:
+        ptr = _json.load(fh)
+    assert set(ptr) == {"upto", "n_segments"}  # O(1) pointer, no entry list
+    assert sorted(seen) == list(range(ptr["upto"] + 1))
 
 
 def test_compact_entry_conservative_on_partial_stats():
@@ -653,3 +675,43 @@ def test_streaming_rule_late_event_arrival_order(spark, tmp_path):
     assert rule_states_view(delta_batch([("turn_a", ent, t_fire)])).filter(
         F.col("subject") == ent
     ).count() == 1
+
+
+def test_sink_legacy_monolith_checkpoint_migrates(spark, tmp_path):
+    """A pre-r6 monolithic _checkpoint.json ({"upto", "entries"}) is read
+    correctly and migrated into segment 0 on the next flush."""
+    import json as _json
+
+    from semstreams_spark.streaming.sink import ExactlyOnceParquetSink
+
+    table = str(tmp_path / "t")
+    sink = ExactlyOnceParquetSink(table, compact_every=4)
+    for b in range(8):
+        ts = T0 + dt.timedelta(hours=b)
+        df = spark.createDataFrame(
+            [("r", f"e{b}", ts)], "rule_id string, entity_id string, ts timestamp_ntz"
+        )
+        sink(df, b)
+    ledger_dir = os.path.join(table, "_ledger")
+    # rewrite the checkpoint in the legacy monolithic format
+    entries = sorted(sink._compact_entries().values(), key=lambda e: e["batch_id"])
+    with open(os.path.join(ledger_dir, "_checkpoint.json"), "w") as fh:
+        _json.dump({"upto": 7, "entries": entries}, fh)
+    for f in os.listdir(ledger_dir):
+        if f.startswith("_checkpoint.seg."):
+            os.remove(os.path.join(ledger_dir, f))
+
+    sink2 = ExactlyOnceParquetSink(table, compact_every=4)
+    assert sorted(sink2._compact_entries()) == list(range(8))  # legacy readable
+    for b in range(8, 12):
+        ts = T0 + dt.timedelta(hours=b)
+        df = spark.createDataFrame(
+            [("r", f"e{b}", ts)], "rule_id string, entity_id string, ts timestamp_ntz"
+        )
+        sink2(df, b)
+    with open(os.path.join(ledger_dir, "_checkpoint.json")) as fh:
+        ptr = _json.load(fh)
+    assert set(ptr) == {"upto", "n_segments"} and ptr["n_segments"] == 1
+    sink3 = ExactlyOnceParquetSink(table, compact_every=4)
+    assert sorted(sink3._compact_entries()) == list(range(12))
+    assert sink3.read(spark).count() == 12
