@@ -715,3 +715,147 @@ def test_sink_legacy_monolith_checkpoint_migrates(spark, tmp_path):
     sink3 = ExactlyOnceParquetSink(table, compact_every=4)
     assert sorted(sink3._compact_entries()) == list(range(12))
     assert sink3.read(spark).count() == 12
+
+
+def test_tws_processor_logic_with_mock_handle():
+    """Round-5 verdict #3: exercise ConvMergeProcessor's TWS logic layer
+    (state round-trip, timer replace, expired-timer session_end) WITHOUT
+    the protobuf runtime, against a dict-backed StatefulProcessorHandle —
+    output parity with the legacy _accept_turns on the same chunks."""
+    import numpy as np
+
+    from semstreams_spark.streaming.state_merge import _accept_turns
+    from semstreams_spark.streaming.state_merge_tws import ConvMergeProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeListState(FakeValueState):
+        def __init__(self):
+            self._rows = []
+
+        def exists(self):
+            return bool(self._rows)
+
+        def get(self):
+            return iter(list(self._rows))
+
+        def appendList(self, rows):
+            self._rows.extend(tuple(r) for r in rows)
+
+        def clear(self):
+            self._rows = []
+
+    class FakeHandle:
+        def __init__(self):
+            self.states, self.timers = {}, []
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getListState(self, name, schema):
+            return self.states.setdefault(name, FakeListState())
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    class FakeGroupState:
+        def __init__(self, wm):
+            self._t, self._wm = None, wm
+            self.hasTimedOut = False
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = tuple(t)
+
+        def remove(self):
+            self._t = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c1"] * len(rows),
+                "turn_idx": np.array([r[0] for r in rows], dtype=np.int32),
+                "role": [r[1] for r in rows],
+                "text": [f"msg {r[0]} @entity:ent_a" for r in rows],
+                "tool": [r[2] for r in rows],
+                "ts": pd.to_datetime([T0 + dt.timedelta(seconds=20 * r[0]) for r in rows]),
+            }
+        )
+
+    # two batches: out-of-order rows, a redelivery (turn 1), a tool turn
+    batch1 = [chunk([(0, "user", None), (2, "assistant", None), (1, "assistant", None)])]
+    batch2 = [chunk([(1, "assistant", None), (3, "tool", "calc"), (4, "user", None)])]
+
+    proc = ConvMergeProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    for wm, batch in ((0, batch1), (60_000, batch2)):
+        tws_out.extend(proc.handleInputRows(("c1",), iter(batch), FakeTimerValues(wm)))
+    assert len(handle.timers) == 1  # timers REPLACE, never accumulate
+    # batch2: last event time (T0+80s, epoch ms) beats the 60s watermark
+    anchor_ms = int(pd.Timestamp(T0 + dt.timedelta(seconds=80)).value // 1_000_000)
+    assert handle.timers[0] == anchor_ms + 3_600_000
+
+    gs = FakeGroupState(0)
+    leg_out = list(_accept_turns(("c1",), iter(batch1), gs))
+    gs._wm = 60_000
+    leg_out.extend(_accept_turns(("c1",), iter(batch2), gs))
+
+    t = pd.concat(tws_out, ignore_index=True)
+    l = pd.concat(leg_out, ignore_index=True)
+    pd.testing.assert_frame_equal(t, l)
+    assert list(t["turn_idx"]) == [0, 1, 2, 3, 4]  # redelivery deduped
+    assert list(t["version"]) == [1, 2, 3, 4, 5]
+
+    # expired timer: session_end emitted once, state cleared
+    ended = list(proc.handleExpiredTimer(("c1",), FakeTimerValues(10**12), object()))
+    assert len(ended) == 1 and ended[0]["kind"][0] == "session_end"
+    assert ended[0]["text"][0] == "5"  # n_turns summary payload
+    assert not proc._scalars.exists() and not proc._seen.exists()
+    gs.hasTimedOut = True
+    leg_end = list(_accept_turns(("c1",), iter([]), gs))
+    pd.testing.assert_frame_equal(ended[0], leg_end[0])
+    # a second expiry with no state emits nothing
+    assert list(proc.handleExpiredTimer(("c1",), FakeTimerValues(10**12), object())) == []
