@@ -427,53 +427,64 @@ def _conv_pair_counts(spark, sf_dir):
     vocabularies, where downstream aggregation does the collapsing
     exactly as the Catalyst form. Measured: edges derive 2.17 → 1.26 s
     warm at sf0.1; outputs identical (A/B + weight cross-check)."""
+    m = _mention_rows(spark, sf_dir).select("conv_id", "e")
+    # no sort_array here (unlike the Catalyst reference form above): the
+    # matrix path sorts via np.unique + searchsorted regardless of input
+    # order, and the fallback path np.sorts per row — dropping the
+    # per-group JVM array sort saves ~0.09 s per derive (×6 graph queries)
+    per_conv = m.groupBy("conv_id").agg(F.collect_set("e").alias("ents"))
+    return per_conv.select("ents").mapInPandas(
+        _pair_count_batches, "src string, dst string, c long"
+    )
+
+
+def _pair_count_batches(it, max_matrix_vocab: int = 4096):
+    """mapInPandas kernel for `_conv_pair_counts` (module-level so the
+    fallback branch is directly unit-testable): per Arrow batch of `ents`
+    arrays (unordered entity sets), emit partial (src, dst, c) pair
+    counts with src < dst."""
     import numpy as np
     import pandas as pd
 
-    m = _mention_rows(spark, sf_dir).select("conv_id", "e")
-    per_conv = m.groupBy("conv_id").agg(F.sort_array(F.collect_set("e")).alias("ents"))
-
-    def gen(it):
-        for pdf in it:
-            arrs = pdf["ents"]
-            if not len(arrs):
-                continue
-            vocab = np.unique(np.concatenate(list(arrs)))
-            V = len(vocab)
-            if V <= 4096:
-                M = np.zeros((V, V), dtype=np.int64)
-                for ents in arrs:
-                    if len(ents) < 2:
-                        continue
-                    idx = np.searchsorted(vocab, ents)
-                    M[np.ix_(idx, idx)] += 1
-                iu, ju = np.triu_indices(V, 1)
-                c = M[iu, ju]
-                nz = c > 0
+    for pdf in it:
+        arrs = pdf["ents"]
+        if not len(arrs):
+            continue
+        vocab = np.unique(np.concatenate(list(arrs)))
+        V = len(vocab)
+        if V <= max_matrix_vocab:
+            M = np.zeros((V, V), dtype=np.int64)
+            for ents in arrs:
+                if len(ents) < 2:
+                    continue
+                idx = np.searchsorted(vocab, ents)
+                M[np.ix_(idx, idx)] += 1
+            iu, ju = np.triu_indices(V, 1)
+            c = M[iu, ju]
+            nz = c > 0
+            yield pd.DataFrame(
+                {"src": vocab[iu[nz]], "dst": vocab[ju[nz]], "c": c[nz]}
+            )
+        else:
+            srcs, dsts, cache = [], [], {}
+            for ents in arrs:
+                k = len(ents)
+                if k < 2:
+                    continue
+                ents = np.sort(ents)  # (i<j) pair emission needs lex order
+                ij = cache.get(k)
+                if ij is None:
+                    ij = cache.setdefault(k, np.triu_indices(k, 1))
+                srcs.append(ents[ij[0]])
+                dsts.append(ents[ij[1]])
+            if srcs:
                 yield pd.DataFrame(
-                    {"src": vocab[iu[nz]], "dst": vocab[ju[nz]], "c": c[nz]}
+                    {
+                        "src": np.concatenate(srcs),
+                        "dst": np.concatenate(dsts),
+                        "c": np.ones(sum(len(s) for s in srcs), dtype=np.int64),
+                    }
                 )
-            else:
-                srcs, dsts, cache = [], [], {}
-                for ents in arrs:
-                    k = len(ents)
-                    if k < 2:
-                        continue
-                    ij = cache.get(k)
-                    if ij is None:
-                        ij = cache.setdefault(k, np.triu_indices(k, 1))
-                    srcs.append(ents[ij[0]])
-                    dsts.append(ents[ij[1]])
-                if srcs:
-                    yield pd.DataFrame(
-                        {
-                            "src": np.concatenate(srcs),
-                            "dst": np.concatenate(dsts),
-                            "c": np.ones(sum(len(s) for s in srcs), dtype=np.int64),
-                        }
-                    )
-
-    return per_conv.select("ents").mapInPandas(gen, "src string, dst string, c long")
 
 
 def _entity_edges(spark, sf_dir):

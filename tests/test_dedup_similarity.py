@@ -620,6 +620,47 @@ def test_shingle_sets_kernel_matches_expr(spark, docs):
         assert kern == expr
 
 
+def test_pair_count_kernel_fallback_matches_matrix_path():
+    """The V>cap fallback branch of the pair kernel (plain per-row pair
+    emission, r6 np.sort on UNSORTED collect_set input) must produce the
+    same aggregated pair counts as the V×V matrix branch and as brute
+    force — exercised directly since no sf corpus exceeds the 4096 cap."""
+    import itertools
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"ent_{i:05d}" for i in range(300)])
+    convs = []
+    for _ in range(40):
+        k = int(rng.integers(1, 12))
+        ents = rng.choice(vocab, size=k, replace=False)
+        rng.shuffle(ents)  # collect_set order is arbitrary — model that
+        convs.append(ents)
+    pdf = pd.DataFrame({"ents": convs})
+
+    def agg(frames):
+        c = Counter()
+        for f in frames:
+            for s, d, n in zip(f["src"], f["dst"], f["c"]):
+                c[(s, d)] += int(n)
+        return c
+
+    matrix = agg(entry._pair_count_batches(iter([pdf])))
+    fallback = agg(entry._pair_count_batches(iter([pdf]), max_matrix_vocab=1))
+    brute = Counter(
+        pair
+        for ents in convs
+        for pair in itertools.combinations(sorted(ents), 2)
+    )
+    assert matrix == brute
+    assert fallback == brute
+
+
 def test_conv_pair_counts_matches_catalyst_pairs(spark):
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
